@@ -1,0 +1,108 @@
+"""Integration: short training on synthetic NLF noise must beat the Gaussian
+baseline and drive sd_z toward 1 (the reference's empirical correctness
+criteria, SURVEY.md §4)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from noise_flow_tpu.config import default_config
+from noise_flow_tpu.data.patches import PatchDataset
+from noise_flow_tpu.data.stats import calc_baselines, calc_pat_stats
+from noise_flow_tpu.data.synthetic import make_synthetic_samples
+from noise_flow_tpu.models.flow import NoiseFlow
+from noise_flow_tpu.parallel.mesh import make_mesh
+from noise_flow_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth_data():
+    train = make_synthetic_samples(n_images=4, h=64, w=64, iso=800, seed=0)
+    test = make_synthetic_samples(n_images=2, h=64, w=64, iso=800, seed=9)
+    ph = 16
+    tr = PatchDataset(train, ph, 16)
+    ts = PatchDataset(test, ph, 16)
+    return tr, ts, ph
+
+
+def test_sdn_flow_beats_gaussian_baseline(synth_data, tmp_path):
+    tr, ts, ph = synth_data
+    stats = calc_pat_stats(tr.x, tr.y)
+    nll_gauss, nll_sdn = calc_baselines(ts.batches(16), stats["sc_in_vr"])
+
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph, width=4,
+                         lr=1e-2, epochs=50, epochs_full_valid=25,
+                         n_batch_train=16, temp=1.0)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    mesh = make_mesh(8)
+    trainer = Trainer(flow, cfg, mesh)
+
+    logdir = str(tmp_path / "run")
+    hist = trainer.fit(
+        lambda: tr.batches(16, shuffle=True, seed=0, drop_remainder=True),
+        lambda: ts.batches(16, drop_remainder=True),
+        logdir, epochs=50, nll_gauss=nll_gauss, nll_sdn=nll_sdn,
+        sc_sd=stats["sc_in_sd"], do_sampling=False, verbose=False)
+
+    assert hist["test"][-1] < hist["test"][0]  # NLL decreasing
+    assert hist["test"][-1] < nll_gauss  # beats Gaussian baseline
+    # the flow should whiten the data: latent sd -> 1 (ref sd_z sanity metric)
+    tail = open(os.path.join(logdir, "test.txt")).read().splitlines()[-1]
+    sdz = float(tail.split("\t")[4])
+    assert 0.8 < sdz < 1.25
+    # logs written with reference columns
+    assert os.path.exists(os.path.join(logdir, "train.txt"))
+    head = open(os.path.join(logdir, "test.txt")).readline().rstrip("\n")
+    assert head.split("\t") == ["epoch", "NLL", "NLL_G", "NLL_SDN", "sdz", "msg"]
+    # checkpoints
+    assert os.path.exists(os.path.join(logdir, "ckpt", "model.ckpt-best.npz"))
+
+
+def test_checkpoint_resume(synth_data, tmp_path):
+    tr, ts, ph = synth_data
+    cfg = default_config(arch="unc", patch_height=ph, lr=1e-3, epochs=2,
+                         n_batch_train=16)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    trainer = Trainer(flow, cfg, make_mesh(8))
+    logdir = str(tmp_path / "resume")
+    trainer.fit(lambda: tr.batches(16, drop_remainder=True),
+                lambda: ts.batches(16, drop_remainder=True),
+                logdir, epochs=2, do_sampling=False, verbose=False)
+    # the epoch-2 checkpoint is saved during the test phase, i.e. with exactly
+    # the params that produced the epoch-2 test.txt NLL row (reference order:
+    # test -> save -> train, ref:train_noise_flow.py:384-419)
+    last_row = open(os.path.join(logdir, "test.txt")).read().splitlines()[-1]
+    nll_at_ckpt = float(last_row.split("\t")[1])
+
+    cfg2 = default_config(arch="unc", patch_height=ph, lr=1e-3, epochs=3,
+                          n_batch_train=16, continue_training=True)
+    flow2 = NoiseFlow((ph, ph, 4), cfg2)
+    tr2 = Trainer(flow2, cfg2, make_mesh(8))
+    from noise_flow_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+    last = latest_checkpoint(os.path.join(logdir, "ckpt"))
+    assert last is not None
+    tr2.params, tr2.state, tr2.opt_state, ep = load_checkpoint(
+        last, tr2.params, tr2.state, tr2.opt_state)
+    assert ep == 2
+    nll_after, _ = tr2.eval_epoch(ts.batches(16, drop_remainder=True))
+    np.testing.assert_allclose(nll_after, nll_at_ckpt, rtol=1e-5)
+
+
+def test_sampling_epoch_kld(synth_data, tmp_path):
+    """Sampling phase: samples' KLD vs real noise is finite; a flow trained a
+    bit produces KLD_NF << KLD of an untrained wide Gaussian."""
+    tr, ts, ph = synth_data
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph,
+                         lr=1e-3, n_batch_train=16)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    trainer = Trainer(flow, cfg, make_mesh(8))
+    for _ in range(5):
+        trainer.train_epoch(tr.batches(16, shuffle=True, drop_remainder=True))
+    stats = calc_pat_stats(tr.x, tr.y)
+    nll, sdz, kld = trainer.sample_epoch(
+        ts.batches(16, drop_remainder=True), 1.0, jax.random.PRNGKey(0),
+        sc_sd=stats["sc_in_sd"], fix_cam_iso=False)
+    assert np.all(np.isfinite(kld))
+    assert kld[3] == 0.0  # real vs real
