@@ -1,0 +1,90 @@
+"""CLI flag surface.
+
+Keeps the reference's flag names (ref:sidd/ArgParser.py:11-167) so the
+canonical run commands (ref:job_noise_flow.sh:35-75) work verbatim, and maps
+them onto the typed Config. TPU-specific extras (mesh shape, dtype, pallas)
+are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+from noise_flow_tpu.config import Config, default_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "noise_flow_tpu", description="TPU-native conditional noise flow")
+    # --- model (ref:ArgParser.py:37-66,110-125) ---
+    p.add_argument("--arch", type=str,
+                   default="sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc",
+                   help="arch DSL, e.g. 'sdn5|unc|...|gain4|...'")
+    p.add_argument("--width", type=int, default=4,
+                   help="coupling-NN hidden width")
+    p.add_argument("--depth", type=int, default=-1,
+                   help="legacy revnet2d depth (used when --arch is empty)")
+    p.add_argument("--n_levels", type=int, default=1)
+    p.add_argument("--squeeze_factor", type=int, default=1)
+    p.add_argument("--squeeze-type", dest="squeeze_type", type=str,
+                   default="chessboard", choices=("chessboard", "patch"))
+    p.add_argument("--flow_permutation", type=int, default=1,
+                   help="0=reverse, 1=invertible 1x1 conv, else none")
+    p.add_argument("--decomp", type=str, default="LU",
+                   choices=("NONE", "LU", "LU2"))
+    p.add_argument("--sidd_cond", type=str, default="mix",
+                   help="legacy revnet2d conditioning "
+                        "(uncond|condY|condYG|condXY|condXYG|condSDN|fitSDN|mix)")
+    p.add_argument("--append_sdn", action="store_true")
+    p.add_argument("--append_sdn2", action="store_true")
+    p.add_argument("--append_sdn_first", action="store_true")
+    p.add_argument("--append_cY", action="store_true")
+    # --- data (ref:ArgParser.py:15,72-106) ---
+    p.add_argument("--sidd_path", type=str,
+                   default="./data/SIDD_Medium_Raw/Data")
+    p.add_argument("--patch_height", type=int, default=32)
+    p.add_argument("--patch_sampling", type=str, default="uniform",
+                   choices=("uniform", "random"))
+    p.add_argument("--n_patches_per_image", type=int, default=2898)
+    p.add_argument("--start_tr_im_idx", type=int, default=10)
+    p.add_argument("--end_tr_im_idx", type=int, default=12)
+    p.add_argument("--start_ts_im_idx", type=int, default=10)
+    p.add_argument("--end_ts_im_idx", type=int, default=12)
+    p.add_argument("--camera", type=str, default=None,
+                   help="filter by camera id (IP|GP|S6|N6|G4)")
+    p.add_argument("--iso", type=int, default=None, help="filter by ISO")
+    p.add_argument("--synthetic_data", type=int, default=0, metavar="N",
+                   help="use N synthetic images instead of SIDD (smoke runs)")
+    # --- training (ref:ArgParser.py:25-36,62,126-151) ---
+    p.add_argument("--logdir", type=str, default="./experiments/sidd/run0")
+    p.add_argument("--n_batch_train", type=int, default=138)
+    p.add_argument("--n_batch_test", type=int, default=138)
+    p.add_argument("--epochs", type=int, default=2000)
+    p.add_argument("--epochs_full_valid", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--optim", type=str, default="adam", choices=("adam", "sgd"))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_bits_x", type=int, default=10)
+    p.add_argument("--temp", type=float, default=1.0)
+    p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--continue_training", action="store_true")
+    # --- tpu extras ---
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh size (0 = all local devices)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas kernels on the sampling hot path")
+    return p
+
+
+def args_to_config(args: argparse.Namespace) -> Config:
+    cfg_fields = {f for f in Config.__dataclass_fields__}
+    kwargs = {k: v for k, v in vars(args).items() if k in cfg_fields}
+    if args.mesh:
+        kwargs["mesh_shape"] = (args.mesh,)
+    return default_config(**kwargs)
+
+
+def parse_config(argv: Optional[List[str]] = None):
+    args = build_parser().parse_args(argv)
+    return args, args_to_config(args)

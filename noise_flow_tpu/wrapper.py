@@ -1,0 +1,108 @@
+"""Inference-only public API: load a trained model directory and sample noise.
+
+Re-design of ref:borealisflows/NoiseFlowWrapper.py:19-138. The reference
+rebuilt a TF1 graph at fixed [None,32,32,4] and restored `model.ckpt.best`;
+here we re-hydrate the Config from `hps.txt`, load the best npz checkpoint,
+and expose `sample_noise_nf(batch_clean, b1, b2, iso, cam)` — the exact call
+signature the DnCNN pipeline and the sampling demo consume
+(ref:NoiseFlowWrapper.py:81-87). Sampling is jitted per input shape (cached),
+entirely on-device.
+
+Reference quirk preserved: the wrapper samples with `is_training=True` so
+coupling-NN batch norm uses batch statistics (ref:NoiseFlowWrapper.py:86) —
+controlled by `bn_batch_stats` (default True to match).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noise_flow_tpu.config import Config, load_hps
+from noise_flow_tpu.models.flow import NoiseFlow
+from noise_flow_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+
+
+def _best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    best = os.path.join(ckpt_dir, "model.ckpt-best.npz")
+    if os.path.exists(best):
+        return best
+    return latest_checkpoint(ckpt_dir)
+
+
+class NoiseFlowWrapper:
+    """Load `path/{hps.txt, ckpt/model.ckpt-best.npz}` and sample noise.
+
+    Example:
+        nf = NoiseFlowWrapper("models/NoiseFlow", sampling_temperature=0.6)
+        noise = nf.sample_noise_nf(clean_batch, 0.0, 0.0, iso=100, cam=2)
+    """
+
+    def __init__(self, path: str, sampling_temperature: float = 0.6,
+                 cfg: Optional[Config] = None, bn_batch_stats: bool = True,
+                 seed: int = 12345):
+        self.path = path
+        self.temp = float(sampling_temperature)
+        self.cfg = cfg or load_hps(os.path.join(path, "hps.txt"))
+        self.bn_batch_stats = bn_batch_stats
+        ph = self.cfg.patch_height
+        self.flow = NoiseFlow((ph, ph, self.cfg.n_channels), self.cfg)
+        # init then overwrite from the checkpoint (ref restores .best,
+        # NoiseFlowWrapper.py:43,77)
+        self.params, self.state = self.flow.init(jax.random.PRNGKey(0))
+        ckpt = _best_checkpoint(os.path.join(path, "ckpt"))
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint under {path}/ckpt")
+        self.params, self.state, _, self.epoch = load_checkpoint(
+            ckpt, self.params, self.state, None)
+        self._rng = jax.random.PRNGKey(seed)
+        self._jitted = {}
+
+    # ------------------------------------------------------------------ api
+    def sample_noise_nf(self, batch_clean: np.ndarray, b1: float, b2: float,
+                        iso: float, cam: float,
+                        temp: Optional[float] = None) -> np.ndarray:
+        """Sample noise for a batch of clean patches
+        (ref:NoiseFlowWrapper.py:81-87).
+
+        b1/b2 are the camera NLF betas (only used by condSDN-style layers;
+        the published model ignores them — the reference feeds 0.0, 0.0).
+        """
+        x = np.asarray(batch_clean, np.float32)
+        expect = (self.cfg.patch_height, self.cfg.patch_height,
+                  self.cfg.n_channels)
+        if x.ndim != 4 or x.shape[1:] != expect:
+            raise ValueError(
+                f"batch_clean must be [B,{expect[0]},{expect[1]},{expect[2]}] "
+                f"(model was built at that shape, like the reference's fixed "
+                f"placeholders); got {x.shape}")
+        b = x.shape[0]
+        cond = {
+            "clean": jnp.asarray(x),
+            "nlf0": jnp.full((b,), float(b1), jnp.float32),
+            "nlf1": jnp.full((b,), float(b2), jnp.float32),
+            "iso": jnp.full((b,), float(iso), jnp.float32),
+            "cam": jnp.full((b,), float(cam), jnp.float32),
+        }
+        t = self.temp if temp is None else float(temp)
+        fn = self._get_jitted(x.shape, t)
+        self._rng, k = jax.random.split(self._rng)
+        return np.asarray(fn(self.params, self.state, k, cond))
+
+    # ------------------------------------------------------------ internals
+    def _get_jitted(self, shape: Tuple[int, ...], temp: float):
+        key = (shape, temp)
+        if key not in self._jitted:
+            flow, train = self.flow, self.bn_batch_stats
+
+            @jax.jit
+            def fn(params, state, rng, cond):
+                return flow.sample(params, state, rng, cond, temp=temp,
+                                   batch=shape[0], train=train)
+
+            self._jitted[key] = fn
+        return self._jitted[key]

@@ -1,0 +1,66 @@
+"""Inference wrapper + CLI end-to-end on synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from noise_flow_tpu.cli.sample import main as sample_main
+from noise_flow_tpu.cli.train import main as train_main
+from noise_flow_tpu.wrapper import NoiseFlowWrapper
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    logdir = str(tmp_path_factory.mktemp("cli_run"))
+    rc = train_main([
+        "--synthetic_data", "3", "--epochs", "12", "--patch_height", "16",
+        "--n_batch_train", "16", "--n_batch_test", "16", "--lr", "1e-2",
+        "--arch", "sdn5|unc|gain4|unc", "--width", "4",
+        "--epochs_full_valid", "6", "--logdir", logdir, "--mesh", "8",
+    ])
+    assert rc == 0
+    return logdir
+
+
+def test_train_cli_outputs(trained_dir):
+    for fn in ("hps.txt", "model_vars.txt", "train.txt", "test.txt",
+               "total_time.txt"):
+        assert os.path.exists(os.path.join(trained_dir, fn)), fn
+    assert os.path.exists(os.path.join(trained_dir, "ckpt",
+                                       "model.ckpt-best.npz"))
+    # hps.txt round-trips through the wrapper's loader
+    from noise_flow_tpu.config import load_hps
+    cfg = load_hps(os.path.join(trained_dir, "hps.txt"))
+    assert cfg.arch == "sdn5|unc|gain4|unc"
+    assert cfg.patch_height == 16
+
+
+def test_wrapper_sample(trained_dir):
+    nf = NoiseFlowWrapper(trained_dir, sampling_temperature=0.6)
+    clean = np.full((8, 16, 16, 4), 0.4, np.float32)
+    noise = nf.sample_noise_nf(clean, 0.0, 0.0, iso=100, cam=2)
+    assert noise.shape == clean.shape
+    assert np.all(np.isfinite(noise))
+    # temperature contracts the distribution
+    noise_hot = nf.sample_noise_nf(clean, 0.0, 0.0, iso=100, cam=2, temp=1.0)
+    assert np.std(noise) < np.std(noise_hot)
+    # two calls draw different noise (internal rng advances)
+    n2 = nf.sample_noise_nf(clean, 0.0, 0.0, iso=100, cam=2)
+    assert not np.allclose(noise, n2)
+
+
+def test_wrapper_shape_error(trained_dir):
+    nf = NoiseFlowWrapper(trained_dir)
+    with pytest.raises(ValueError, match="batch_clean"):
+        nf.sample_noise_nf(np.zeros((2, 8, 8, 4), np.float32), 0, 0, 100, 2)
+
+
+def test_sample_cli_synthetic(trained_dir, tmp_path):
+    out = str(tmp_path / "samples")
+    rc = sample_main(["--model_path", trained_dir, "--synthetic",
+                      "--out_dir", out, "--n_pat", "2", "--temp", "0.6"])
+    assert rc == 0
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    mats = [f for f in os.listdir(out) if f.endswith(".mat")]
+    assert len(pngs) == 6 and len(mats) == 6  # 3 scenes x 2 patches
