@@ -100,7 +100,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             key = "/".join(str(p) for p in path)
             f.write(f"{key}\t{tuple(np.shape(leaf))}\n")
 
-    bs_tr, bs_ts = cfg.n_batch_train, cfg.n_batch_test
+    # clamp batch sizes to split sizes (small synthetic smoke runs would
+    # otherwise drop every batch under drop_remainder)
+    bs_tr = min(cfg.n_batch_train, len(tr))
+    bs_ts = min(cfg.n_batch_test, len(ts))
     trainer.fit(
         lambda: tr.batches(bs_tr, shuffle=True, seed=cfg.seed,
                            drop_remainder=True),
