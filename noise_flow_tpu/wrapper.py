@@ -44,7 +44,7 @@ class NoiseFlowWrapper:
 
     def __init__(self, path: str, sampling_temperature: float = 0.6,
                  cfg: Optional[Config] = None, bn_batch_stats: bool = True,
-                 seed: int = 12345):
+                 seed: int = 12345, use_pallas: bool = False):
         self.path = path
         self.temp = float(sampling_temperature)
         self.cfg = cfg or load_hps(os.path.join(path, "hps.txt"))
@@ -61,6 +61,12 @@ class NoiseFlowWrapper:
             ckpt, self.params, self.state, None)
         self._rng = jax.random.PRNGKey(seed)
         self._jitted = {}
+        # fused Pallas fast path (inference-mode BN; see ops.pallas_sample)
+        self._pallas_program = None
+        if use_pallas:
+            from noise_flow_tpu.ops.pallas_sample import build_sample_program
+            self._pallas_program = build_sample_program(
+                self.flow, self.params, self.state)
 
     # ------------------------------------------------------------------ api
     def sample_noise_nf(self, batch_clean: np.ndarray, b1: float, b2: float,
@@ -89,8 +95,12 @@ class NoiseFlowWrapper:
             "cam": jnp.full((b,), float(cam), jnp.float32),
         }
         t = self.temp if temp is None else float(temp)
-        fn = self._get_jitted(x.shape, t)
         self._rng, k = jax.random.split(self._rng)
+        if self._pallas_program is not None:
+            from noise_flow_tpu.ops.pallas_sample import pallas_sample
+            return np.asarray(pallas_sample(self._pallas_program, k, cond,
+                                            temp=t))
+        fn = self._get_jitted(x.shape, t)
         return np.asarray(fn(self.params, self.state, k, cond))
 
     # ------------------------------------------------------------ internals
