@@ -79,7 +79,10 @@ class Config:
     # --- tpu / parallelism ---
     mesh_shape: Tuple[int, ...] = (1,)   # data-parallel axis sizes
     mesh_axes: Tuple[str, ...] = ("data",)
-    dtype: str = "float32"               # activation dtype; params stay f32
+    # Flow math (log-dets, NLL) is always float32; 'bfloat16' here enables
+    # low-precision MXU compute where it is safe: the fused Pallas sampler's
+    # matmuls and DnCNN convs (f32 accumulation in both).
+    dtype: str = "float32"
     use_pallas: bool = False             # fused Pallas flow kernels for the hot path
 
     # --- compat with reference quirks ---

@@ -51,19 +51,33 @@ def dncnn_init(rng, depth: int = 9, filters: int = 32,
     return params, state
 
 
-def _conv(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+def _conv(x, w, dtype=None):
+    if dtype is None:
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # low-precision MXU compute; cast output back (TPU accumulates matmul
+    # products in f32 internally). Explicit casts keep autodiff dtypes aligned.
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.astype(jnp.float32)
 
 
-def dncnn_apply(params, state, x, train: bool) -> Tuple[jnp.ndarray, Dict]:
+def dncnn_apply(params, state, x, train: bool,
+                compute_dtype=None) -> Tuple[jnp.ndarray, Dict]:
     """Returns (denoised, new_state). Residual head: out = x - predicted_noise
-    (ref:train_dncnn_noiseflow.py:102)."""
-    h = jax.nn.relu(_conv(x, params["convs"][0]) + params["biases"]["first"])
+    (ref:train_dncnn_noiseflow.py:102).
+
+    compute_dtype: optional low-precision conv compute (e.g. jnp.bfloat16) —
+    convs run on the MXU in that dtype with f32 accumulation; BN statistics,
+    residual head, and params stay f32.
+    """
+    _c = lambda a, b: _conv(a, b, compute_dtype)
+    h = jax.nn.relu(_c(x, params["convs"][0]) + params["biases"]["first"])
     new_bn = []
     use_bn = len(state["bn"]) > 0
     for i, w in enumerate(params["convs"][1:-1]):
-        h = _conv(h, w)
+        h = _c(h, w)
         if use_bn:
             if train:
                 m = jnp.mean(h, axis=(0, 1, 2))
@@ -77,7 +91,7 @@ def dncnn_apply(params, state, x, train: bool) -> Tuple[jnp.ndarray, Dict]:
             h = (h - m) * jax.lax.rsqrt(v + BN_EPS)
             h = h * params["bn_scale"][i] + params["bn_bias"][i]
         h = jax.nn.relu(h)
-    noise = _conv(h, params["convs"][-1])
+    noise = _c(h, params["convs"][-1])
     return x - noise, {"bn": new_bn}
 
 

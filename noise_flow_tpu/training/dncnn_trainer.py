@@ -67,8 +67,10 @@ class DnCNNTrainer:
     def __init__(self, cfg=None, depth: int = 9, filters: int = 32,
                  channels: int = 4, lr: float = 1e-3, seed: int = 0,
                  mesh=None, noise_source: str = "gauss",
-                 noise_flow=None, cam_iso_rows: Optional[List] = None):
+                 noise_flow=None, cam_iso_rows: Optional[List] = None,
+                 dtype: str = "float32"):
         self.depth, self.filters, self.lr = depth, filters, lr
+        self.compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
         self.noise_source = noise_source
         self.mesh = mesh or make_mesh()
         self.params, self.state = dncnn_init(
@@ -131,6 +133,8 @@ class DnCNNTrainer:
         optimizer = self.optimizer
         use_real = self.noise_source == "real"
 
+        cdt = self.compute_dtype
+
         def train_step(params, state, opt_state, rng, clean, noisy):
             if use_real:
                 x_noisy = noisy
@@ -139,7 +143,8 @@ class DnCNNTrainer:
                 x_noisy = jnp.clip(clean + noise, 0.0, 1.0)
 
             def loss_fn(p):
-                out, new_state = dncnn_apply(p, state, x_noisy, train=True)
+                out, new_state = dncnn_apply(p, state, x_noisy, train=True,
+                                             compute_dtype=cdt)
                 # sum_squared_error / 2 (ref:244-245)
                 return jnp.sum(jnp.square(out - clean)) / 2.0, new_state
 
@@ -150,7 +155,8 @@ class DnCNNTrainer:
             return new_params, new_state, new_opt, loss
 
         def denoise_step(params, state, noisy):
-            out, _ = dncnn_apply(params, state, noisy, train=False)
+            out, _ = dncnn_apply(params, state, noisy, train=False,
+                                 compute_dtype=cdt)
             return out
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
