@@ -1,0 +1,47 @@
+#!/bin/bash
+# Canonical noise-flow runs (mirrors ref:job_noise_flow.sh:17-75).
+# Usage: bash jobs/job_noise_flow.sh <config>    config in:
+#   published | sdn-gain | s-ax1-g-ax1 | ax4 | condsdn-baseline | smoke
+set -e
+cfg="${1:-published}"
+SIDD="${SIDD_PATH:-./data/SIDD_Medium_Raw/Data}"
+
+case "$cfg" in
+  published)  # S-Ax4-G-Ax4-CAM (ref:job_noise_flow.sh:35-39)
+    python train_noise_flow.py \
+      --arch "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc" --width 4 \
+      --lr 1e-4 --n_batch_train 138 --patch_height 32 \
+      --n_patches_per_image 2898 --epochs 2000 --do_sample \
+      --sidd_path "$SIDD" --logdir experiments/sidd/published
+    ;;
+  s-ax1-g-ax1)  # (ref:job_noise_flow.sh:44-48)
+    python train_noise_flow.py \
+      --arch "sdn5|unc|gain4|unc" --width 4 --lr 1e-4 \
+      --n_batch_train 138 --patch_height 32 --n_patches_per_image 2898 \
+      --epochs 2000 --sidd_path "$SIDD" --logdir experiments/sidd/s_ax1_g_ax1
+    ;;
+  sdn-gain)  # S-G, conditional layers only (ref:job_noise_flow.sh:53-57)
+    python train_noise_flow.py \
+      --arch "sdn5|gain4" --width 4 --lr 1e-4 --n_batch_train 138 \
+      --patch_height 32 --n_patches_per_image 2898 --epochs 2000 \
+      --sidd_path "$SIDD" --logdir experiments/sidd/s_g
+    ;;
+  ax4)  # unconditional Ax4 ablation (ref:job_noise_flow.sh:62-66)
+    python train_noise_flow.py \
+      --arch "unc|unc|unc|unc" --width 4 --lr 1e-4 --n_batch_train 138 \
+      --patch_height 32 --n_patches_per_image 2898 --epochs 2000 \
+      --sidd_path "$SIDD" --logdir experiments/sidd/ax4
+    ;;
+  condsdn-baseline)  # non-trainable camera-NLF baseline (eval only)
+    python train_noise_flow.py \
+      --arch "" --sidd_cond condSDN --depth 1 --lr 1e-4 \
+      --n_batch_train 138 --patch_height 32 --n_patches_per_image 2898 \
+      --epochs 5 --sidd_path "$SIDD" --logdir experiments/sidd/condsdn
+    ;;
+  smoke)  # no SIDD needed
+    python train_noise_flow.py --synthetic_data 4 --epochs 30 \
+      --patch_height 16 --n_batch_train 16 --lr 1e-2 --do_sample \
+      --logdir experiments/sidd/smoke
+    ;;
+  *) echo "unknown config: $cfg" >&2; exit 1;;
+esac

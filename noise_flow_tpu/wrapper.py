@@ -103,6 +103,40 @@ class NoiseFlowWrapper:
         fn = self._get_jitted(x.shape, t)
         return np.asarray(fn(self.params, self.state, k, cond))
 
+    def sample_noise_frame(self, clean_frame: np.ndarray, b1: float,
+                           b2: float, iso: float, cam: float,
+                           temp: Optional[float] = None,
+                           batch: int = 4096) -> np.ndarray:
+        """Sample noise for a FULL packed raw frame [H, W, 4] (or [1, H, W, 4]).
+
+        The flow is patch-based (32x32 receptive field); the frame is tiled
+        into patch-grid tiles, sampled in large device batches (the Pallas
+        fast path when enabled), and stitched back. The reference offered
+        only manual patch crops (ref:sample_noise_flow.py:62-76); this makes
+        whole-frame synthesis one call. Edges are covered by padding the
+        frame up to a patch multiple and cropping the result.
+        """
+        x = np.asarray(clean_frame, np.float32)
+        if x.ndim == 4:
+            x = x[0]
+        h, w, c = x.shape
+        ph = self.cfg.patch_height
+        pad_h = (-h) % ph
+        pad_w = (-w) % ph
+        xp = np.pad(x, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        hh, ww = xp.shape[:2]
+        # frame -> [n_tiles, ph, ph, 4]
+        tiles = xp.reshape(hh // ph, ph, ww // ph, ph, c)
+        tiles = tiles.transpose(0, 2, 1, 3, 4).reshape(-1, ph, ph, c)
+        outs = []
+        for s in range(0, len(tiles), batch):
+            outs.append(self.sample_noise_nf(tiles[s:s + batch], b1, b2,
+                                             iso, cam, temp))
+        noise_tiles = np.concatenate(outs)
+        noise = noise_tiles.reshape(hh // ph, ww // ph, ph, ph, c)
+        noise = noise.transpose(0, 2, 1, 3, 4).reshape(hh, ww, c)
+        return noise[:h, :w]
+
     # ------------------------------------------------------------ internals
     def _get_jitted(self, shape: Tuple[int, ...], temp: float):
         key = (shape, temp)

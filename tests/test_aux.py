@@ -132,3 +132,15 @@ def test_plots_from_training_run(tmp_path):
     p4 = plot_kld_vs_temp([0.5, 1.0], klds,
                           out_path=str(tmp_path / "kvt.png"))
     assert os.path.exists(p4)
+
+
+def test_graphics_raster(tmp_path):
+    from noise_flow_tpu.utils.graphics import save_image, save_raster, to_raster
+
+    x = np.random.default_rng(0).uniform(0, 1, (10, 16, 16, 4)).astype(np.float32)
+    g = to_raster(x, rescale=True)
+    assert g.shape == (3 * 16, 4 * 16, 4)
+    assert g.dtype == np.uint8
+    save_raster(x, str(tmp_path / "r.png"))
+    save_image(x[0], str(tmp_path / "i.png"))
+    assert (tmp_path / "r.png").exists() and (tmp_path / "i.png").exists()
