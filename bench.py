@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main():
+    from noise_flow_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

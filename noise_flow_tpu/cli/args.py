@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     # --- tpu extras ---
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size (0 = all local devices)")
+    p.add_argument("--batch_scalar_cond", action="store_true",
+                   help="reference-compat: one (nlf,iso,cam) scalar per "
+                        "minibatch, taken from its last patch "
+                        "(ref:sidd/MiniBatchSampler.py:60-64)")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas kernels on the sampling hot path")
     return p
@@ -82,6 +86,8 @@ def args_to_config(args: argparse.Namespace) -> Config:
     kwargs = {k: v for k, v in vars(args).items() if k in cfg_fields}
     if args.mesh:
         kwargs["mesh_shape"] = (args.mesh,)
+    if getattr(args, "batch_scalar_cond", False):
+        kwargs["per_example_cond"] = False
     return default_config(**kwargs)
 
 

@@ -89,6 +89,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--seed", type=int, default=12345)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from noise_flow_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     nf = NoiseFlowWrapper(args.model_path, sampling_temperature=args.temp)
     ph = nf.cfg.patch_height

@@ -87,6 +87,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--synthetic", action="store_true")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from noise_flow_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     t0 = time.time()
 
     model_dir = args.model_dir or os.path.join("models", args.model_name)

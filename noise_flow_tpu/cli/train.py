@@ -63,6 +63,8 @@ def load_split(args, cfg, train_or_test: str):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args, cfg = parse_config(argv)
+    from noise_flow_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     add_trace_level()
     logging.basicConfig(level=logging.INFO)
     t_start = time.time()
@@ -104,10 +106,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     # otherwise drop every batch under drop_remainder)
     bs_tr = min(cfg.n_batch_train, len(tr))
     bs_ts = min(cfg.n_batch_test, len(ts))
+    bsc = not cfg.per_example_cond  # reference-compat conditioning
     trainer.fit(
         lambda: tr.batches(bs_tr, shuffle=True, seed=cfg.seed,
-                           drop_remainder=True),
-        lambda: ts.batches(bs_ts, drop_remainder=True),
+                           drop_remainder=True, batch_scalar_cond=bsc),
+        lambda: ts.batches(bs_ts, drop_remainder=True, batch_scalar_cond=bsc),
         cfg.logdir, epochs=cfg.epochs, nll_gauss=nll_gauss, nll_sdn=nll_sdn,
         sc_sd=stats["sc_in_sd"], do_sampling=args.do_sample, verbose=True)
 

@@ -66,6 +66,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--mesh", type=int, default=0)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from noise_flow_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     source = noise_source_from_name(args.model)
     save_dir = args.save_dir or os.path.join("models", args.model)

@@ -264,16 +264,38 @@ def _shift_h(x, dh):
     return jnp.concatenate([x[:, 1:], z], axis=1)
 
 
-def _make_kernel(ops, rescales, bt: int, mm_dtype):
+def _box_muller(bits1, bits2):
+    """uint32 random bits -> standard normals (Box-Muller on the VPU)."""
+    # 24 high bits -> uniform in (0, 1); offset avoids log(0)
+    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
+                 use_prng: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     def mm(x2, m):
         return jnp.dot(x2.astype(mm_dtype), m.astype(mm_dtype),
                        preferred_element_type=jnp.float32)
 
-    def kernel(eps_ref, clean_ref, sa_ref, sb_ref, mixes_ref, m1s_ref,
+    def kernel(first_ref, clean_ref, sa_ref, sb_ref, mixes_ref, m1s_ref,
                b1s_ref, m2s_ref, b2s_ref, m3s_ref, offs_ref, out_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WC), 2)
         keep_mask = (lane % C) < (C // 2)  # uncoupled channels {0,1}
-        x = eps_ref[:]
+        if use_prng:
+            # first_ref is a (1,1) SMEM seed; draw eps on-chip (no HBM eps)
+            pltpu.prng_seed(first_ref[0, 0] + pl.program_id(0))
+            bits1 = pltpu.bitcast(pltpu.prng_random_bits((bt, H, WC)),
+                                  jnp.uint32)
+            bits2 = pltpu.bitcast(pltpu.prng_random_bits((bt, H, WC)),
+                                  jnp.uint32)
+            x = _box_muller(bits1, bits2) * temp
+        else:
+            x = first_ref[:]
         for op in ops:
             kind, idx = op[0], op[1]
             if kind == "mix":
@@ -304,15 +326,18 @@ def _make_kernel(ops, rescales, bt: int, mm_dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("program", "bt", "interpret",
-                                             "mm_dtype"))
-def _pallas_sample_padded(program: SampleProgram, eps, clean, sa, sb,
-                          bt: int, interpret: bool, mm_dtype):
+                                             "mm_dtype", "temp", "use_prng"))
+def _pallas_sample_padded(program: SampleProgram, first, clean, sa, sb,
+                          bt: int, interpret: bool, mm_dtype,
+                          temp: float = 1.0, use_prng: bool = False):
+    """first = eps tile [B,H,WC] (use_prng=False) or (1,1) int32 seed."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b = eps.shape[0]
+    b = clean.shape[0]
     grid = (b // bt,)
-    kernel = _make_kernel(program.ops, tuple(program.rescales), bt, mm_dtype)
+    kernel = _make_kernel(program.ops, tuple(program.rescales), bt, mm_dtype,
+                          temp, use_prng)
 
     def batch_spec(cols=None):
         if cols is None:
@@ -326,12 +351,15 @@ def _pallas_sample_padded(program: SampleProgram, eps, clean, sa, sb,
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    first_spec = (pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+                  if use_prng else batch_spec())
     n_scale = sa.shape[1]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            batch_spec(), batch_spec(), batch_spec(n_scale),
+            first_spec, batch_spec(), batch_spec(n_scale),
             batch_spec(n_scale),
             const_spec(program.mixes.shape),
             const_spec(program.m1s.shape),
@@ -344,41 +372,52 @@ def _pallas_sample_padded(program: SampleProgram, eps, clean, sa, sb,
         out_specs=batch_spec(),
         out_shape=jax.ShapeDtypeStruct((b, H, WC), jnp.float32),
         interpret=interpret,
-    )(eps, clean, sa, sb, program.mixes, program.m1s, program.b1s,
+    )(first, clean, sa, sb, program.mixes, program.m1s, program.b1s,
       program.m2s, program.b2s, program.m3s, program.offs)
 
 
 @functools.partial(jax.jit, static_argnames=("program", "temp", "bt",
                                              "interpret", "mm_dtype",
-                                             "use_eps"))
+                                             "use_eps", "in_kernel_rng"))
 def _sample_full(program: SampleProgram, rng, cond, eps, temp: float,
-                 bt: int, interpret: bool, mm_dtype, use_eps: bool):
+                 bt: int, interpret: bool, mm_dtype, use_eps: bool,
+                 in_kernel_rng: bool = False):
     clean = cond["clean"]
     batch = clean.shape[0]
-    if not use_eps:
-        eps = jax.random.normal(rng, (batch, H, W, C), jnp.float32)
-    eps = (jnp.asarray(eps, jnp.float32) * temp).reshape(batch, H, WC)
     clean_t = jnp.asarray(clean, jnp.float32).reshape(batch, H, WC)
     sa, sb = program.scale_ab(cond, batch)
 
     pad = (-batch) % bt
     if pad:
-        eps = jnp.concatenate([eps, jnp.zeros((pad, H, WC))], 0)
         clean_t = jnp.concatenate([clean_t, jnp.ones((pad, H, WC))], 0)
         sa = jnp.concatenate([sa, jnp.zeros((pad, sa.shape[1]))], 0)
         sb = jnp.concatenate([sb, jnp.ones((pad, sb.shape[1]))], 0)
-    out = _pallas_sample_padded(program, eps, clean_t, sa, sb, bt,
-                                interpret, mm_dtype)
+
+    if in_kernel_rng and not use_eps:
+        seed = jax.random.randint(rng, (1, 1), 0, 2 ** 31 - 1, jnp.int32)
+        out = _pallas_sample_padded(program, seed, clean_t, sa, sb, bt,
+                                    interpret, mm_dtype, temp=temp,
+                                    use_prng=True)
+    else:
+        if not use_eps:
+            eps = jax.random.normal(rng, (batch, H, W, C), jnp.float32)
+        eps = (jnp.asarray(eps, jnp.float32) * temp).reshape(batch, H, WC)
+        if pad:
+            eps = jnp.concatenate([eps, jnp.zeros((pad, H, WC))], 0)
+        out = _pallas_sample_padded(program, eps, clean_t, sa, sb, bt,
+                                    interpret, mm_dtype)
     return out[:batch].reshape(batch, H, W, C)
 
 
 def pallas_sample(program: SampleProgram, rng, cond, temp: float = 1.0,
                   batch: int = None, bt: int = 64, interpret: bool = None,
-                  mm_dtype=jnp.float32, eps=None):
+                  mm_dtype=jnp.float32, eps=None, in_kernel_rng: bool = False):
     """Sample noise with the fused kernel (one jitted program end-to-end).
 
     cond: {'clean':[B,32,32,4], 'nlf0','nlf1','iso','cam':[B]}.
     eps (optional): pre-drawn standard normals [B,32,32,4] for parity tests.
+    in_kernel_rng: draw eps on-chip via the TPU PRNG + Box-Muller (no HBM
+    eps traffic; TPU-only — the interpreter lacks prng_random_bits).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -388,4 +427,4 @@ def pallas_sample(program: SampleProgram, rng, cond, temp: float = 1.0,
     if not use_eps:
         eps = jnp.zeros((0,))
     return _sample_full(program, rng, cond, eps, float(temp), bt,
-                        interpret, mm_dtype, use_eps)
+                        interpret, mm_dtype, use_eps, in_kernel_rng)
