@@ -265,12 +265,19 @@ def _shift_h(x, dh):
 
 
 def _box_muller(bits1, bits2):
-    """uint32 random bits -> standard normals (Box-Muller on the VPU)."""
-    # 24 high bits -> uniform in (0, 1); offset avoids log(0)
-    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
-    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """uint32 random bits -> standard normals (Box-Muller on the VPU).
+
+    Uses BOTH halves (cos and sin) so each uniform pair yields two normals:
+    bits of shape [..., S, L] produce normals of shape [..., 2*S, L]."""
+    # 24 high bits -> uniform in (0, 1); offset avoids log(0).
+    # Mosaic has no uint32->f32 cast; the 24-bit value fits int32 exactly.
+    h1 = (bits1 >> 8).astype(jnp.int32)
+    h2 = (bits2 >> 8).astype(jnp.int32)
+    u1 = h1.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = h2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos((2.0 * np.pi) * u2)
+    th = (2.0 * np.pi) * u2
+    return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=-2)
 
 
 def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
@@ -287,11 +294,15 @@ def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WC), 2)
         keep_mask = (lane % C) < (C // 2)  # uncoupled channels {0,1}
         if use_prng:
-            # first_ref is a (1,1) SMEM seed; draw eps on-chip (no HBM eps)
-            pltpu.prng_seed(first_ref[0, 0] + pl.program_id(0))
-            bits1 = pltpu.bitcast(pltpu.prng_random_bits((bt, H, WC)),
+            # first_ref is a (1,1) SMEM seed; draw eps on-chip (no HBM eps).
+            # Box-Muller yields 2 normals per uniform pair -> half-height bits.
+            # prng_seed hashes its arguments together, so consecutive integer
+            # seeds do NOT overlap across grid blocks (seed+1 block 0 vs
+            # seed block 1 would collide under additive seeding).
+            pltpu.prng_seed(first_ref[0, 0], pl.program_id(0))
+            bits1 = pltpu.bitcast(pltpu.prng_random_bits((bt, H // 2, WC)),
                                   jnp.uint32)
-            bits2 = pltpu.bitcast(pltpu.prng_random_bits((bt, H, WC)),
+            bits2 = pltpu.bitcast(pltpu.prng_random_bits((bt, H // 2, WC)),
                                   jnp.uint32)
             x = _box_muller(bits1, bits2) * temp
         else:
@@ -372,20 +383,31 @@ def _pallas_sample_padded(program: SampleProgram, first, clean, sa, sb,
         out_specs=batch_spec(),
         out_shape=jax.ShapeDtypeStruct((b, H, WC), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(first, clean, sa, sb, program.mixes, program.m1s, program.b1s,
       program.m2s, program.b2s, program.m3s, program.offs)
 
 
+@functools.partial(jax.jit, static_argnames=("program", "batch"))
+def _scale_ab_jit(program: SampleProgram, cond, batch: int):
+    return program.scale_ab(cond, batch)
+
+
 @functools.partial(jax.jit, static_argnames=("program", "temp", "bt",
                                              "interpret", "mm_dtype",
-                                             "use_eps", "in_kernel_rng"))
+                                             "use_eps", "in_kernel_rng",
+                                             "has_sab", "tile_out"))
 def _sample_full(program: SampleProgram, rng, cond, eps, temp: float,
                  bt: int, interpret: bool, mm_dtype, use_eps: bool,
-                 in_kernel_rng: bool = False):
+                 in_kernel_rng: bool = False, sab=None, has_sab: bool = False,
+                 tile_out: bool = False):
     clean = cond["clean"]
     batch = clean.shape[0]
     clean_t = jnp.asarray(clean, jnp.float32).reshape(batch, H, WC)
-    sa, sb = program.scale_ab(cond, batch)
+    sa, sb = sab if has_sab else program.scale_ab(cond, batch)
 
     pad = (-batch) % bt
     if pad:
@@ -394,37 +416,99 @@ def _sample_full(program: SampleProgram, rng, cond, eps, temp: float,
         sb = jnp.concatenate([sb, jnp.ones((pad, sb.shape[1]))], 0)
 
     if in_kernel_rng and not use_eps:
-        seed = jax.random.randint(rng, (1, 1), 0, 2 ** 31 - 1, jnp.int32)
+        if rng.dtype == jnp.int32:       # pre-made (1,1) seed, no key fold
+            seed = rng
+        else:
+            seed = jax.random.randint(rng, (1, 1), 0, 2 ** 31 - 1, jnp.int32)
         out = _pallas_sample_padded(program, seed, clean_t, sa, sb, bt,
                                     interpret, mm_dtype, temp=temp,
                                     use_prng=True)
     else:
         if not use_eps:
+            if rng.dtype == jnp.int32:   # int seed on the XLA-eps path
+                rng = jax.random.PRNGKey(rng.reshape(())[()])
             eps = jax.random.normal(rng, (batch, H, W, C), jnp.float32)
         eps = (jnp.asarray(eps, jnp.float32) * temp).reshape(batch, H, WC)
         if pad:
             eps = jnp.concatenate([eps, jnp.zeros((pad, H, WC))], 0)
         out = _pallas_sample_padded(program, eps, clean_t, sa, sb, bt,
                                     interpret, mm_dtype)
+    if tile_out:
+        # [B, H, W*C] — the kernel's native layout. The NHWC reshape is a
+        # physical relayout on TPU (last-dim 4 retiles poorly); consumers
+        # that transfer to host or do elementwise work should take the tile.
+        return out[:batch] if pad else out
     return out[:batch].reshape(batch, H, W, C)
+
+
+def precompute_scale_ab(program: SampleProgram, cond, batch: int = None):
+    """Precompute the per-example (a, b) scale coefficients.
+
+    They depend only on (nlf0, nlf1, iso, cam) — NOT on `clean` — so a
+    sampling loop with fixed conditioning can compute them once and pass
+    them via `pallas_sample(..., scale_ab=...)`, removing ~40 tiny XLA ops
+    from every call (the steady-state path of NoiseFlowWrapper)."""
+    batch = batch or cond["clean"].shape[0]
+    return _scale_ab_jit(program, cond, batch)
+
+
+def make_sampler(program: SampleProgram, cond, temp: float = 1.0,
+                 bt: int = 64, mm_dtype=jnp.bfloat16, tile_out: bool = True):
+    """Build the leanest per-call sampling closure for FIXED conditioning.
+
+    Returns `sample(seed: int) -> noise` ([B, H, W*C] tile layout by default;
+    reshape to [B, 32, 32, 4] on the host for free — C-contiguous layouts
+    match). Scale coefficients are precomputed once; eps is drawn in-kernel
+    from the TPU PRNG; the only per-call host work is a (1,1) int32 seed.
+    TPU-only (the interpreter lacks prng_random_bits) — falls back to the
+    jitted XLA-eps path off-TPU.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    batch = cond["clean"].shape[0]
+    sa, sb = _scale_ab_jit(program, cond, batch)
+    clean_t = jnp.asarray(cond["clean"], jnp.float32).reshape(batch, H, WC)
+    if (-batch) % bt:
+        raise ValueError(f"batch {batch} must be a multiple of bt {bt}")
+    if not on_tpu:
+        def sample_interp(seed: int):
+            out = pallas_sample(program, int(seed), cond, temp=temp, bt=bt,
+                                mm_dtype=mm_dtype, scale_ab=(sa, sb))
+            return out.reshape(batch, H, WC) if tile_out else out
+        return sample_interp
+
+    def sample(seed: int):
+        s = jnp.full((1, 1), int(seed) % (2 ** 31 - 1), jnp.int32)
+        out = _pallas_sample_padded(program, s, clean_t, sa, sb, bt,
+                                    False, mm_dtype, temp=float(temp),
+                                    use_prng=True)
+        return out if tile_out else out.reshape(batch, H, W, C)
+
+    return sample
 
 
 def pallas_sample(program: SampleProgram, rng, cond, temp: float = 1.0,
                   batch: int = None, bt: int = 64, interpret: bool = None,
-                  mm_dtype=jnp.float32, eps=None, in_kernel_rng: bool = False):
+                  mm_dtype=jnp.float32, eps=None, in_kernel_rng: bool = False,
+                  scale_ab=None):
     """Sample noise with the fused kernel (one jitted program end-to-end).
 
     cond: {'clean':[B,32,32,4], 'nlf0','nlf1','iso','cam':[B]}.
     eps (optional): pre-drawn standard normals [B,32,32,4] for parity tests.
     in_kernel_rng: draw eps on-chip via the TPU PRNG + Box-Muller (no HBM
-    eps traffic; TPU-only — the interpreter lacks prng_random_bits).
+    eps traffic; TPU-only — the interpreter lacks prng_random_bits). With
+    in_kernel_rng, `rng` may be a plain int (or (1,1) int32 array) seed —
+    cheaper than a PRNG key fold per call.
+    scale_ab: optional precomputed (sa, sb) from `precompute_scale_ab`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if isinstance(rng, int):
+        rng = jnp.full((1, 1), rng % (2 ** 31 - 1), jnp.int32)
     use_eps = eps is not None
     if not use_eps:
         eps = jnp.zeros((0,))
     return _sample_full(program, rng, cond, eps, float(temp), bt,
-                        interpret, mm_dtype, use_eps, in_kernel_rng)
+                        interpret, mm_dtype, use_eps, in_kernel_rng,
+                        sab=scale_ab, has_sab=scale_ab is not None)
