@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="arch DSL, e.g. 'sdn5|unc|...|gain4|...'")
     p.add_argument("--width", type=int, default=4,
                    help="coupling-NN hidden width")
+    p.add_argument("--coupling_nn", type=str, default="conv",
+                   choices=["conv", "dense"],
+                   help="coupling template: conv (real_nvp_conv_template) or "
+                        "dense MLP (real_nvp_default_template)")
+    p.add_argument("--hidden_layers", type=int, nargs="+", default=[64, 64],
+                   help="dense-template hidden layer sizes")
     p.add_argument("--depth", type=int, default=-1,
                    help="legacy revnet2d depth (used when --arch is empty)")
     p.add_argument("--n_levels", type=int, default=1)

@@ -35,6 +35,8 @@ class Config:
     # --- model ---
     arch: str = "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc"
     width: int = 4                       # coupling-NN hidden width
+    coupling_nn: str = "conv"            # conv | dense (real_nvp_default_template)
+    hidden_layers: Tuple[int, ...] = (64, 64)  # dense-template hidden sizes
     depth: int = -1                      # legacy revnet2d depth (arch DSL preferred)
     n_levels: int = 1
     squeeze_factor: int = 1

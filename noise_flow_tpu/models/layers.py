@@ -157,6 +157,41 @@ def _coupling_forward(params, shared, state, x, cond, train):
 COUPLING = LayerDef(_coupling_init, _coupling_inverse, _coupling_forward)
 
 
+def make_coupling_dense(cfg):
+    """Affine coupling with the dense-MLP template
+    (ref:borealisflows/layers.py:404-449, real_nvp_default_template) —
+    selected by ``cfg.coupling_nn == 'dense'``."""
+    from noise_flow_tpu.ops.nn import coupling_mlp_apply, coupling_mlp_init
+
+    hidden = tuple(cfg.hidden_layers)
+
+    def init(rng, x_shape, cfg_):
+        h, w, c = x_shape
+        nn_p, nn_s = coupling_mlp_init(rng, (h, w, c // 2), hidden)
+        return {"nn": nn_p, "rescale": jnp.full((), 1e-4)}, {"nn": nn_s}
+
+    def net(params, state, x0, train):
+        shift, log_scale, new_nn = coupling_mlp_apply(
+            params["nn"], state["nn"], x0, train)
+        return shift, params["rescale"] * jnp.tanh(log_scale), {"nn": new_nn}
+
+    def inverse(params, shared, state, y, cond, train):
+        c = y.shape[-1]
+        y0, y1 = y[..., : c // 2], y[..., c // 2:]
+        shift, ls, new_state = net(params, state, y0, train)
+        x1 = y1 * jnp.exp(ls) + shift
+        return jnp.concatenate([y0, x1], -1), _sum_hwc(ls), new_state
+
+    def forward(params, shared, state, x, cond, train):
+        c = x.shape[-1]
+        x0, x1 = x[..., : c // 2], x[..., c // 2:]
+        shift, ls, new_state = net(params, state, x0, train)
+        y1 = (x1 - shift) * jnp.exp(-ls)
+        return jnp.concatenate([x0, y1], -1), -_sum_hwc(ls), new_state
+
+    return LayerDef(init, inverse, forward)
+
+
 # ---------------------------------------------------------------------------
 # scale-only conditional layers (sdn*, gain*, fitSDN, condSDN)
 #
@@ -477,7 +512,9 @@ def get_layer_def(kind: str, cfg) -> LayerDef:
     table: Dict[str, LayerDef] = {
         "perm_reverse": LayerDef(_perm_init, _perm_inverse, _perm_forward),
         "conv1x1": make_conv1x1(cfg),
-        "coupling": COUPLING,
+        "coupling": (make_coupling_dense(cfg)
+                     if getattr(cfg, "coupling_nn", "conv") == "dense"
+                     else COUPLING),
         "sdn": SDN, "sdn1": SDN1, "sdn2": SDN2, "sdn3": SDN3,
         "sdn4": SDN4, "sdn5": SDN5, "sdn6": SDN6,
         "gain": GAIN, "gain1": GAIN1, "gain2": GAIN2, "gain3": GAIN3,

@@ -41,12 +41,14 @@ def batch_norm_init(c: int) -> Dict[str, jnp.ndarray]:
 def batch_norm_apply(x, state, train: bool):
     """Normalize; in train mode use batch moments and emit updated running stats.
 
-    Matches TF semantics: biased variance over (N,H,W); running stats updated as
+    Matches TF semantics: biased variance over all non-channel axes ((N,H,W)
+    for conv activations, (N,) for dense); running stats updated as
     ``s -= decay * (s - batch_stat)`` (ref:borealisflows/layers.py:394-398).
     """
+    axes = tuple(range(x.ndim - 1))
     if train:
-        m = jnp.mean(x, axis=(0, 1, 2))
-        v = jnp.var(x, axis=(0, 1, 2))
+        m = jnp.mean(x, axis=axes)
+        v = jnp.var(x, axis=axes)
         new_state = {
             "mean": state["mean"] - BN_DECAY * (state["mean"] - m),
             "var": state["var"] - BN_DECAY * (state["var"] - v),
@@ -129,6 +131,55 @@ def coupling_nn_apply(p, s, x, train: bool):
     h = conv_zeros_apply(p["last"], h)
     shift, log_scale = jnp.split(h, 2, axis=-1)
     return shift, log_scale, {"bn1": bn1, "bn2": bn2}
+
+
+# ---------------------------------------------------------------------------
+# real_nvp_default_template (ref:borealisflows/layers.py:404-449)
+# dense MLP over the flattened input half: [dense -> BN -> relu]* ->
+# zero-init dense -> reshape -> split(shift, log_scale)
+# ---------------------------------------------------------------------------
+
+def coupling_mlp_init(rng, half_shape: Tuple[int, int, int],
+                      hidden_layers: Tuple[int, ...],
+                      shift_only: bool = False):
+    """Dense-MLP coupling template. half_shape = (H, W, C//2)."""
+    i0, i1, ic = half_shape
+    in_units = i0 * i1 * ic
+    out_units = (1 if shift_only else 2) * in_units
+    params: Dict[str, jnp.ndarray] = {}
+    state: Dict[str, Dict[str, jnp.ndarray]] = {}
+    prev = in_units
+    keys = jax.random.split(rng, max(len(hidden_layers), 1))
+    for i, units in enumerate(hidden_layers):
+        # TF dense default init: glorot uniform (ref:layers.py:424)
+        lim = (6.0 / (prev + units)) ** 0.5
+        params[f"d{i}_w"] = jax.random.uniform(
+            keys[i], (prev, units), jnp.float32, -lim, lim)
+        params[f"d{i}_b"] = jnp.zeros((units,), jnp.float32)
+        state[f"bn{i}"] = batch_norm_init(units)
+        prev = units
+    # zero-init last dense => identity coupling at init (ref:layers.py:432-440)
+    params["last_w"] = jnp.zeros((prev, out_units), jnp.float32)
+    params["last_b"] = jnp.zeros((out_units,), jnp.float32)
+    return params, state
+
+
+def coupling_mlp_apply(p, s, x, train: bool, shift_only: bool = False):
+    """Returns (shift, log_scale | None, new_state); x: [B, H, W, C//2]."""
+    b, i0, i1, ic = x.shape
+    h = x.reshape(b, i0 * i1 * ic)
+    new_state = {}
+    n_hidden = sum(1 for k in p if k.startswith("d") and k.endswith("_w"))
+    for i in range(n_hidden):
+        h = h @ p[f"d{i}_w"] + p[f"d{i}_b"]
+        h, new_state[f"bn{i}"] = batch_norm_apply(h, s[f"bn{i}"], train)
+        h = jax.nn.relu(h)
+    h = h @ p["last_w"] + p["last_b"]
+    if shift_only:
+        return h.reshape(b, i0, i1, ic), None, new_state
+    h = h.reshape(b, i0, i1, 2 * ic)
+    shift, log_scale = jnp.split(h, 2, axis=-1)
+    return shift, log_scale, new_state
 
 
 # ---------------------------------------------------------------------------

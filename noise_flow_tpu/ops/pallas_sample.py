@@ -102,6 +102,10 @@ def _coupling_fold(p: Dict, s: Dict, rescale: float) -> Dict:
     256-wide matrix writes shift into lanes [w*4+2, w*4+3] of cols 0..127 and
     log_scale into the same lanes of cols 128..255.
     """
+    if "l1_w" not in p:
+        raise ValueError("pallas sampler supports only the conv coupling "
+                         "template (coupling_nn='conv'); use the XLA path "
+                         "for dense couplings")
     width = p["l1_w"].shape[-1]
     if width > C:
         raise ValueError(f"pallas sampler supports coupling width <= {C}, "

@@ -91,15 +91,77 @@ def kldiv_patch(mb: Dict, x_samples: np.ndarray, i: int, sc_sd: float,
     return np.asarray([kl_div_forward(hists[-1], h) for h in hists])
 
 
+def kldiv_patch_set(i: int, mb: Dict, x_samples: np.ndarray, sc_sd: float,
+                    subdir: Optional[str] = None, save_mat: bool = False,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Per-patch KLD of the 4 noise models + optional .mat visualization dump
+    (ref:sidd_utils.py:1015-1058).
+
+    With save_mat, writes the reference's artifact set into `subdir`: clean
+    patch `y`, the four noise patches `ng/nl/ns/n` (Gaussian, camera-NLF,
+    NoiseFlow, real), the clipped noisy composites `xg/xl/xs/x`, and the
+    per-model KLD scalars `kl_ng/kl_nl/kl_ns` — each as `<tag>_<pid>.mat`
+    with the array under key 'x', exactly the layout the reference's offline
+    analysis consumed."""
+    rng = rng or np.random.default_rng(0)
+    klds = kldiv_patch(mb, x_samples, i, sc_sd, rng)
+    if save_mat and subdir is not None:
+        import os
+
+        from scipy.io import savemat
+
+        os.makedirs(subdir, exist_ok=True)
+        y = unpack_raw(mb["_y"][i])
+        nlf0 = float(np.asarray(mb["nlf0"]).reshape(-1)[0])
+        nlf1 = float(np.asarray(mb["nlf1"]).reshape(-1)[0])
+        vis_rng = np.random.default_rng(0)
+        ng = vis_rng.normal(0, sc_sd, y.shape)
+        nl = np.sqrt(nlf0 * y + nlf1) * vis_rng.normal(0, 1, y.shape)
+        ns = unpack_raw(x_samples[i])
+        n = unpack_raw(mb["_x"][i])
+        pid = int(np.asarray(mb.get("pid", np.arange(len(mb["_x"]))))[i])
+        arrs = {"y": y, "ng": ng, "nl": nl, "ns": ns, "n": n,
+                "xg": np.clip(y + ng, 0.0, 1.0),
+                "xl": np.clip(y + nl, 0.0, 1.0),
+                "xs": np.clip(y + ns, 0.0, 1.0),
+                "x": np.clip(y + n, 0.0, 1.0),
+                "kl_ng": klds[0], "kl_nl": klds[1], "kl_ns": klds[2]}
+        for tag, arr in arrs.items():
+            savemat(os.path.join(subdir, "%s_%04d.mat" % (tag, pid)),
+                    {"x": arr})
+    return klds
+
+
+def save_vis_mb(mb: Dict, out_dir: str) -> None:
+    """Dump one minibatch for offline visualization
+    (ref:sidd_utils.py:985-992: vis_mb.npy + vis_mb.txt)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "vis_mb.npy"),
+            {k: np.asarray(v) for k, v in mb.items()
+             if k not in ("metadata",)}, allow_pickle=True)
+    with open(os.path.join(out_dir, "vis_mb.txt"), "w") as f:
+        f.write("fn=%s" % mb.get("fn", ""))
+
+
 def calc_kldiv_mb(mb: Dict, x_samples: np.ndarray, sc_sd: float,
-                  step: int = 5, seed: int = 0) -> np.ndarray:
+                  step: int = 5, seed: int = 0,
+                  vis_dir: Optional[str] = None) -> np.ndarray:
     """Average marginal KLD over every `step`-th patch of a minibatch
-    (ref:sidd_utils.py:995-1012)."""
+    (ref:sidd_utils.py:995-1012). With vis_dir, also writes the per-patch
+    .mat artifact set under `vis_dir/<scene>/` like the reference."""
     rng = np.random.default_rng(seed)
+    subdir = None
+    if vis_dir is not None:
+        import os
+
+        subdir = os.path.join(vis_dir, str(mb.get("fn", "mb")).split("|")[0])
     klds = np.zeros(4)
     cnt = 0
     for i in range(0, mb["_x"].shape[0], step):
-        klds += kldiv_patch(mb, x_samples, i, sc_sd, rng)
+        klds += kldiv_patch_set(i, mb, x_samples, sc_sd, subdir,
+                                save_mat=vis_dir is not None, rng=rng)
         cnt += 1
     return klds / max(cnt, 1)
 

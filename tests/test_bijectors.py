@@ -169,3 +169,60 @@ def test_conv1x1_lu_logdet():
     np.testing.assert_allclose(float(built["log_abs_det"]), want, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(built["A"] @ built["A_inv"]), np.eye(4),
                                atol=1e-5)
+
+
+def test_dense_coupling_roundtrip_and_ldj():
+    """Dense-MLP coupling template (real_nvp_default_template equivalent,
+    ref:borealisflows/layers.py:404-449): invertibility + autodiff ldj +
+    identity at init (zero-init last dense)."""
+    from noise_flow_tpu.models.layers import make_coupling_dense
+
+    cfg = default_config(coupling_nn="dense", hidden_layers=(16,),
+                        patch_height=H)
+    ld = make_coupling_dense(cfg)
+    params, state = ld.init(jax.random.PRNGKey(0), (H, W, C), cfg)
+    cond = make_cond(jax.random.PRNGKey(1))
+    y = jax.random.normal(jax.random.PRNGKey(2), (B, H, W, C)) * 0.05
+
+    # identity at init
+    x0, ildj0, _ = ld.inverse(params, None, state, y, cond, train=False)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ildj0), 0.0, atol=1e-6)
+
+    # perturb params -> still invertible, ldj matches autodiff
+    params = jax.tree_util.tree_map(
+        lambda v: v + 0.05 * jnp.sin(jnp.arange(v.size, dtype=jnp.float32)
+                                     ).reshape(v.shape), params)
+    x, ildj, _ = ld.inverse(params, None, state, y, cond, train=False)
+    y2, fldj, _ = ld.forward(params, None, state, x, cond, train=False)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ildj), -np.asarray(fldj), rtol=2e-4,
+                               atol=2e-4)
+
+    def f(yf):
+        x_, _, _ = ld.inverse(params, None, state, yf.reshape(1, H, W, C),
+                              cond_1, train=False)
+        return x_.reshape(-1)
+
+    cond_1 = make_cond(jax.random.PRNGKey(1), b=1)
+    jac = jax.jacfwd(f)(y[:1].reshape(-1))
+    _, logdet = np.linalg.slogdet(np.asarray(jac, np.float64))
+    np.testing.assert_allclose(float(ildj[0]), logdet, rtol=5e-4, atol=5e-4)
+
+
+def test_dense_coupling_in_flow():
+    """A flow built with coupling_nn='dense' trains/evals end to end."""
+    from noise_flow_tpu.models.flow import NoiseFlow
+
+    cfg = default_config(arch="unc|unc", coupling_nn="dense",
+                        hidden_layers=(8,), patch_height=H)
+    flow = NoiseFlow((H, W, C), cfg)
+    params, state = flow.init(jax.random.PRNGKey(0))
+    cond = make_cond(jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, H, W, C)) * 0.05
+    nll, sd_z, _ = flow.loss(params, state, x, cond, train=True)
+    assert np.isfinite(float(nll))
+    s = flow.sample(params, state, jax.random.PRNGKey(3), cond, temp=0.6,
+                    batch=B)
+    assert s.shape == (B, H, W, C)

@@ -105,3 +105,42 @@ def test_kld_metrics():
     klds = calc_kldiv_mb(mb, mb["_x"], sc_sd=float(mb["_x"].std()), step=1)
     assert klds[3] == 0.0 and klds[2] == 0.0
     assert klds[0] > 0.0  # Gaussian model mismatch > 0
+
+
+def test_kldiv_patch_set_mat_dumps(tmp_path):
+    """kldiv_patch_set writes the reference's per-patch .mat artifact set
+    (ref:sidd_utils.py:1015-1058) and returns the 4-model KLDs."""
+    from scipy.io import loadmat
+
+    from noise_flow_tpu.utils.metrics import (calc_kldiv_mb, kldiv_patch_set,
+                                              save_vis_mb)
+
+    rng = np.random.default_rng(0)
+    b, h, w = 6, 8, 8
+    y = rng.uniform(0.1, 0.8, (b, h, w, 4)).astype(np.float32)
+    n = (0.01 * rng.standard_normal((b, h, w, 4))).astype(np.float32)
+    mb = {"_x": n, "_y": y, "pid": np.arange(b),
+          "nlf0": np.full((1,), 1e-4), "nlf1": np.full((1,), 1e-6),
+          "fn": "0001_001|x"}
+    samples = (0.01 * rng.standard_normal((b, h, w, 4))).astype(np.float32)
+
+    sub = str(tmp_path / "scene")
+    klds = kldiv_patch_set(0, mb, samples, sc_sd=0.01, subdir=sub,
+                           save_mat=True)
+    assert klds.shape == (4,) and np.isfinite(klds).all()
+    assert klds[3] == 0.0  # real vs real
+    for tag in ("y", "ng", "nl", "ns", "n", "xg", "xl", "xs", "x",
+                "kl_ng", "kl_nl", "kl_ns"):
+        path = tmp_path / "scene" / f"{tag}_0000.mat"
+        assert path.exists(), tag
+    assert loadmat(str(tmp_path / "scene" / "y_0000.mat"))["x"].shape == (16, 16)
+
+    # calc_kldiv_mb with vis_dir writes into <vis_dir>/<scene>/
+    out = calc_kldiv_mb(mb, samples, sc_sd=0.01, step=3,
+                        vis_dir=str(tmp_path / "vis"))
+    assert out.shape == (4,)
+    assert (tmp_path / "vis" / "0001_001" / "y_0000.mat").exists()
+
+    save_vis_mb(mb, str(tmp_path / "vis"))
+    assert (tmp_path / "vis" / "vis_mb.npy").exists()
+    assert (tmp_path / "vis" / "vis_mb.txt").read_text().startswith("fn=")
