@@ -7,8 +7,9 @@ The reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
 measured against a speed-of-light estimate for this chip. The sampling chain
 runs as ONE fused Pallas kernel (ops/pallas_sample.py): the whole 10-layer
 flow stays in VMEM, channel mixing rides the MXU as banded 128x128 matmuls.
-The binding resource is MXU compute, not HBM: the folded chain costs ~92
-MFLOP/patch (8 couplings x 7 matmuls + 8 invertible-1x1), so
+The v2 fold packs the coupling NN's input H-taps and the zero-conv's
+shift/log-scale outputs into single 128-lane tiles, cutting the chain to ~59
+MFLOP/patch (8 couplings x 6 matmuls + 8 invertible-1x1), so
 SoL = peak_matmul_flops / flops_per_patch. vs_baseline ~ 1.0 means the fused
 chain saturates the MXU.
 """
@@ -70,9 +71,9 @@ def main():
     samples_per_sec = batch * n_iter / dt
 
     # --- speed-of-light: MXU-compute-bound -----------------------------
-    # folded chain per patch: 8 couplings x (4 matmuls 128x128 + 3 of 128x256)
-    # + 8 mix matmuls, each over 32 rows/patch at 2*K*N flops/row
-    per_row = 8 * (4 * 128 * 128 + 3 * 128 * 256) * 2 + 8 * 128 * 128 * 2
+    # v2 folded chain per patch: 8 couplings x 6 matmuls [*,128]x[128,128]
+    # + 8 mix matmuls, each over 32 rows/patch at 2*128*128 flops/row
+    per_row = (8 * 6 + 8) * (2 * 128 * 128)
     flops_per_patch = per_row * 32
     peak = 197e12 if (on_tpu and mm_dtype == jnp.bfloat16) else 45e12
     if not on_tpu:
