@@ -1,0 +1,616 @@
+"""Fused Pallas TPU kernel for the TRAINING direction (data -> latent + NLL).
+
+ops/pallas_sample.py fuses the sampling chain; this module fuses the other
+half of the workload: the per-step NLL pass and its backward. As an XLA
+graph, every coupling boundary round-trips [B, H, 128] activations through
+HBM (see ops/packed_flow.py), which caps training at HBM bandwidth. Here a
+whole ``[1x1-mix, coupling] x k`` sub-chain runs inside one Pallas kernel —
+activations stay in VMEM, channel mixing rides the MXU as banded 128x128
+matmuls — and the backward pass is a second kernel that RECOMPUTES the
+forward per block in VMEM (no residual traffic) before the reverse sweep.
+
+Structure per train step (all inside one jit):
+
+    params --fold (differentiable XLA: packed_flow.band_from_conv)--> mats
+    x --[scale layers in XLA]--> segment kernel --> ... --> z, sum(ldj)
+    nll = -(ldj + mix-logdets + scale-ldjs + prior logp)
+    jax.grad --> custom_vjp kernel --> d mats --> (autodiff) --> d params
+
+Semantics notes:
+- Scale-only conditional layers (sdn*/gain*) and the invertible-1x1 log-dets
+  are param-formula work with no spatial structure; they stay in plain
+  differentiable JAX between segments, so every reference quirk (gain ldj
+  modes, shared sdn_gain group) is reused from models/layers.py verbatim.
+- BatchNorm inside coupling NNs uses PER-BLOCK (ghost) batch statistics in
+  the fused path, not global-batch statistics: each grid block of ``bt``
+  patches normalizes with its own moments (running stats are updated with
+  the average of block moments). With B == bt this is exactly the reference
+  semantics; for B > bt it is the well-known ghost-BN variant. Training-mode
+  exact global BN remains available on the XLA path (Trainer fallback).
+- Conv biases feeding a BatchNorm have mathematically zero gradient (BN
+  subtracts the mean); the kernel returns exact zeros for them.
+
+Supported envelope matches the Pallas sampler: single-level (32,32,4) flows,
+conv coupling template, width <= 4, kinds in {coupling, conv1x1,
+perm_reverse} + scale family.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noise_flow_tpu.models.layers import get_layer_def
+from noise_flow_tpu.ops.conv1x1 import matrix_param_build
+from noise_flow_tpu.ops.gaussian import diag_gaussian_logp
+from noise_flow_tpu.ops.nn import BN_DECAY, BN_EPS, LOGSCALE_FACTOR, conv_zeros_apply
+from noise_flow_tpu.ops.packed_flow import (
+    C,
+    H,
+    L,
+    W,
+    SUPPORTED_KINDS,
+    _lane,
+    band_from_conv,
+)
+from noise_flow_tpu.ops.pallas_sample import SUPPORTED_SCALE_KINDS, _shift_h
+
+_PERM_REV = np.kron(np.eye(W, dtype=np.float32),
+                    np.eye(C, dtype=np.float32)[::-1])
+
+
+# ---------------------------------------------------------------------------
+# segment spec + differentiable fold
+# ---------------------------------------------------------------------------
+
+class Segment(NamedTuple):
+    """A fused [mix?, coupling]* run. ops: (("mix", i) | ("coup", i), ...)."""
+    ops: Tuple[Tuple[str, int], ...]
+    nm: int
+    nc: int
+
+
+def _fold_segment(seg: Segment, spec_slice, params_slice, state_slice, cfg,
+                  width: int):
+    """Stack the segment's kernel inputs from raw params (differentiable).
+
+    Returns (mats dict, mix_logdet_sum) where mats has keys
+    rescales[nc], mixes[nm,L,L], m1s[nc,3,L,L], b1s[nc,L], m2s[nc,L,L],
+    b2s[nc,L], m3s[nc,3,L,L], offs[nc,H,L], bnrun[nc,4,L].
+    """
+    mixes: List = []
+    m1s, b1s, m2s, b2s, m3s, offs, rescales, bnrun = ([] for _ in range(8))
+    mix_logdet = jnp.zeros(())
+    for s, p, st in zip(spec_slice, params_slice, state_slice):
+        if s.kind == "conv1x1":
+            m = matrix_param_build(cfg.decomp, {"trainable": p["mat"],
+                                                "frozen": st["frozen"]})
+            mixes.append(jnp.kron(jnp.eye(W, dtype=jnp.float32), m["A"]))
+            mix_logdet = mix_logdet + m["log_abs_det"] * (H * W)
+        elif s.kind == "perm_reverse":
+            mixes.append(jnp.asarray(_PERM_REV))
+        elif s.kind == "coupling":
+            nn_p, nn_s = p["nn"], st["nn"]
+            m1s.append(band_from_conv(nn_p["l1_w"]))
+            b1s.append(_lane(nn_p["l1_b"], width))
+            m2s.append(band_from_conv(nn_p["l2_w"])[0])
+            b2s.append(_lane(nn_p["l2_b"], width))
+            wz = nn_p["last"]["w"][:, :, :width, :]
+            logs_scale = jnp.exp(nn_p["last"]["logs"].reshape(-1)
+                                 * LOGSCALE_FACTOR)
+            m3s.append(band_from_conv(wz * logs_scale))
+            off = conv_zeros_apply(nn_p["last"],
+                                   jnp.zeros((1, H, W, width), jnp.float32))
+            offs.append(off.reshape(H, L))
+            rescales.append(p["rescale"].reshape(()))
+            bnrun.append(jnp.stack([
+                _lane(nn_s["bn1"]["mean"], width),
+                jnp.tile(jnp.pad(nn_s["bn1"]["var"], (0, C - width),
+                                 constant_values=1.0), W),
+                _lane(nn_s["bn2"]["mean"], width),
+                jnp.tile(jnp.pad(nn_s["bn2"]["var"], (0, C - width),
+                                 constant_values=1.0), W),
+            ]))
+        else:  # pragma: no cover - guarded by FusedFlow
+            raise ValueError(s.kind)
+
+    def stk(lst, empty_shape):
+        return (jnp.stack(lst) if lst
+                else jnp.zeros(empty_shape, jnp.float32))
+
+    mats = {
+        "rescales": stk(rescales, (0,)).reshape(max(seg.nc, 1), 1)
+        if rescales else jnp.zeros((1, 1), jnp.float32),
+        "mixes": stk(mixes, (1, L, L)),
+        "m1s": stk(m1s, (1, 3, L, L)),
+        "b1s": stk(b1s, (1, L)),
+        "m2s": stk(m2s, (1, L, L)),
+        "b2s": stk(b2s, (1, L)),
+        "m3s": stk(m3s, (1, 3, L, L)),
+        "offs": stk(offs, (1, H, L)),
+        "bnrun": stk(bnrun, (1, 4, L)),
+    }
+    return mats, mix_logdet
+
+
+# ---------------------------------------------------------------------------
+# kernel building blocks
+# ---------------------------------------------------------------------------
+
+def _mk_mm(mm_dtype):
+    precision = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    def mm(a, b):
+        return jnp.dot(a.astype(mm_dtype), b.astype(mm_dtype),
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+    return mm
+
+
+def _chan_sel():
+    """[L, L] constant: 1 where lanes share a channel (lane % C equal)."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0) % C
+    lj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1) % C
+    return (li == lj).astype(jnp.float32)
+
+
+def _conv3(mm, x, bands, bt):
+    """3-tap band conv; x [bt,H,L], bands ref row [3,L,L] -> [bt*H, L]."""
+    h = mm(x.reshape(bt * H, L), bands[1])
+    h += mm(_shift_h(x, -1).reshape(bt * H, L), bands[0])
+    h += mm(_shift_h(x, 1).reshape(bt * H, L), bands[2])
+    return h
+
+
+def _conv3_t(mm, g2, bands, bt):
+    """Transpose of _conv3 w.r.t. x: g [bt,H,L] -> dx [bt*H, L]."""
+    g3 = g2.reshape(bt, H, L)
+    dx = mm(g2.reshape(bt * H, L), bands[1].T)
+    dx += mm(_shift_h(g3, 1).reshape(bt * H, L), bands[0].T)
+    dx += mm(_shift_h(g3, -1).reshape(bt * H, L), bands[2].T)
+    return dx
+
+
+def _conv3_wgrad(mm, x, g2, bt):
+    """d bands: returns [3, L, L] = shift(x,d)^T @ g for d in (-1, 0, 1)."""
+    g = g2.reshape(bt * H, L)
+    x3 = x.reshape(bt, H, L)
+    return [mm(_shift_h(x3, -1).reshape(bt * H, L).T, g),
+            mm(x.reshape(bt * H, L).T, g),
+            mm(_shift_h(x3, 1).reshape(bt * H, L).T, g)]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_factory(ops, bt, mm_dtype, ghost_bn: bool):
+    mm = _mk_mm(mm_dtype)
+    n_el = bt * H * W  # elements per channel per block
+
+    def kernel(x_ref, rs_ref, mixes_ref, m1s_ref, b1s_ref, m2s_ref, b2s_ref,
+               m3s_ref, offs_ref, bnrun_ref, z_ref, ldj_ref, bnacc_ref):
+        from jax.experimental import pallas as pl
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+        keep = (lane % C) < (C // 2)
+        csel = _chan_sel()
+        x = x_ref[:]
+        ldj = jnp.zeros((bt,), jnp.float32)
+        bn_rows = []
+
+        def bn(h2, run_row):
+            """h2 [bt*H, L] -> normalized, (mean_lane, var_lane)."""
+            if ghost_bn:
+                s = jnp.sum(h2, axis=0, keepdims=True)          # [1, L]
+                m = mm(s, csel) * (1.0 / n_el)                  # [1, L]
+                d = h2 - m
+                v = mm(jnp.sum(d * d, axis=0, keepdims=True), csel) * (1.0 / n_el)
+            else:
+                m = run_row[0].reshape(1, L)
+                v = run_row[1].reshape(1, L)
+                d = h2 - m
+            return d * jax.lax.rsqrt(v + BN_EPS), m, v
+
+        for kind, idx in ops:
+            if kind == "mix":
+                x = mm(x.reshape(bt * H, L), mixes_ref[idx]).reshape(bt, H, L)
+            else:
+                h = _conv3(mm, x, m1s_ref[idx], bt) + b1s_ref[idx].reshape(1, L)
+                h, m1v, v1v = bn(h, bnrun_ref[idx, 0:2])
+                h = jax.nn.relu(h)
+                h = mm(h, m2s_ref[idx]) + b2s_ref[idx].reshape(1, L)
+                h, m2v, v2v = bn(h, bnrun_ref[idx, 2:4])
+                h = jax.nn.relu(h)
+                t = _conv3(mm, h.reshape(bt, H, L), m3s_ref[idx], bt)
+                t = t.reshape(bt, H, L) + offs_ref[idx].reshape(1, H, L)
+                ls = rs_ref[idx, 0] * jnp.tanh(t)
+                sh = jnp.roll(t, 2, axis=-1)
+                x = jnp.where(keep, x, x * jnp.exp(ls) + sh)
+                ldj += jnp.sum(jnp.where(keep, 0.0, ls), axis=(1, 2))
+                if ghost_bn:
+                    bn_rows.append(jnp.concatenate([m1v, v1v, m2v, v2v], 0))
+
+        z_ref[:] = x
+        ldj_ref[:] = jnp.broadcast_to(ldj.reshape(bt, 1), (bt, 128))
+        if ghost_bn and bn_rows:
+            stats = jnp.stack(bn_rows)                          # [nc, 4, L]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                bnacc_ref[:] = stats
+
+            @pl.when(pl.program_id(0) != 0)
+            def _acc():
+                bnacc_ref[:] += stats
+        elif ghost_bn:
+            bnacc_ref[:] = jnp.zeros_like(bnacc_ref)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (recompute forward in VMEM, then reverse sweep)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel_factory(ops, bt, mm_dtype):
+    mm = _mk_mm(mm_dtype)
+    n_el = bt * H * W
+
+    def kernel(x_ref, rs_ref, mixes_ref, m1s_ref, b1s_ref, m2s_ref, b2s_ref,
+               m3s_ref, offs_ref, gz_ref, gldj_ref,
+               gx_ref, grs_ref, gmixes_ref, gm1s_ref, gm2s_ref, gm3s_ref,
+               goffs_ref):
+        from jax.experimental import pallas as pl
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+        keep = (lane % C) < (C // 2)
+        keep2 = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) % C) < (C // 2)
+        csel = _chan_sel()
+
+        def cmean(v2):  # [R, L] -> [1, L] per-channel mean over rows+group
+            return mm(jnp.sum(v2, axis=0, keepdims=True), csel) * (1.0 / n_el)
+
+        # ---- recompute forward, stashing residuals per op -----------------
+        x = x_ref[:]
+        res = []
+        for kind, idx in ops:
+            if kind == "mix":
+                res.append((x,))
+                x = mm(x.reshape(bt * H, L), mixes_ref[idx]).reshape(bt, H, L)
+            else:
+                x_in = x
+                h1 = _conv3(mm, x, m1s_ref[idx], bt) + b1s_ref[idx].reshape(1, L)
+                m1v = cmean(h1)
+                d1 = h1 - m1v
+                v1v = cmean(d1 * d1)
+                is1 = jax.lax.rsqrt(v1v + BN_EPS)
+                n1 = d1 * is1
+                r1 = jax.nn.relu(n1)
+                h2 = mm(r1, m2s_ref[idx]) + b2s_ref[idx].reshape(1, L)
+                m2v = cmean(h2)
+                d2 = h2 - m2v
+                v2v = cmean(d2 * d2)
+                is2 = jax.lax.rsqrt(v2v + BN_EPS)
+                n2 = d2 * is2
+                r2 = jax.nn.relu(n2)
+                t = _conv3(mm, r2.reshape(bt, H, L), m3s_ref[idx], bt)
+                t = t.reshape(bt, H, L) + offs_ref[idx].reshape(1, H, L)
+                th = jnp.tanh(t)
+                ls = rs_ref[idx, 0] * th
+                els = jnp.exp(ls)
+                res.append((x_in, n1, is1, r1, n2, is2, r2, th, els))
+                x = jnp.where(keep, x, x * els + jnp.roll(t, 2, axis=-1))
+
+        # ---- reverse sweep -------------------------------------------------
+        g = gz_ref[:]
+        gl = gldj_ref[:, 0].reshape(bt, 1, 1)
+        first = pl.program_id(0) == 0
+        grs_rows = []
+
+        def acc(ref, idx, val):
+            @pl.when(first)
+            def _i():
+                ref[idx] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _a():
+                ref[idx] += val
+
+        def bn_bwd(gn, n, inv_s):
+            # d/dh of n = (h - m)/s with batch moments (biased var):
+            # dh = inv_s * (gn - mean_c(gn) - n * mean_c(gn * n))
+            return inv_s * (gn - cmean(gn) - n * cmean(gn * n))
+
+        for kind, idx in reversed(list(zip([o[0] for o in ops],
+                                           [o[1] for o in ops]))):
+            r = res.pop()
+            if kind == "mix":
+                (x_in,) = r
+                acc(gmixes_ref, idx,
+                    mm(x_in.reshape(bt * H, L).T, g.reshape(bt * H, L)))
+                g = mm(g.reshape(bt * H, L),
+                       mixes_ref[idx].T).reshape(bt, H, L)
+            else:
+                x_in, n1, is1, r1, n2, is2, r2, th, els = r
+                gcpl = jnp.where(keep, 0.0, g)
+                gls = gcpl * x_in * els + jnp.where(keep, 0.0,
+                                                    jnp.broadcast_to(
+                                                        gl, g.shape))
+                gsh = gcpl
+                sech2 = 1.0 - th * th
+                gt = gls * rs_ref[idx, 0] * sech2 + jnp.roll(gsh, -2, axis=-1)
+                grs_rows.insert(0, jnp.sum((gls * th).reshape(bt * H, L),
+                                           axis=0, keepdims=True))
+                acc(goffs_ref, idx, jnp.sum(gt, axis=0))
+                gt2 = gt.reshape(bt * H, L)
+                w3 = _conv3_wgrad(mm, r2.reshape(bt, H, L), gt2, bt)
+                acc(gm3s_ref, idx, jnp.stack(w3))
+                gr2 = _conv3_t(mm, gt2, m3s_ref[idx], bt)
+                gn2 = gr2 * (n2 > 0)
+                gh2 = bn_bwd(gn2, n2, is2)
+                acc(gm2s_ref, idx, mm(r1.T, gh2))
+                gr1 = mm(gh2, m2s_ref[idx].T)
+                gn1 = gr1 * (n1 > 0)
+                gh1 = bn_bwd(gn1, n1, is1)
+                w1 = _conv3_wgrad(mm, x_in, gh1, bt)
+                acc(gm1s_ref, idx, jnp.stack(w1))
+                gx_nn = _conv3_t(mm, gh1, m1s_ref[idx], bt).reshape(bt, H, L)
+                g = jnp.where(keep, g, g * els) + gx_nn
+
+        gx_ref[:] = g
+        if grs_rows:
+            acc(grs_ref, slice(None), jnp.concatenate(grs_rows, 0))
+        else:
+            grs_ref[:] = jnp.zeros_like(grs_ref)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom_vjp
+# ---------------------------------------------------------------------------
+
+def _vmem_specs(shapes, pl, pltpu):
+    out = []
+    for shp in shapes:
+        nd = len(shp)
+        out.append(pl.BlockSpec(shp, (lambda n: (lambda i: (0,) * n))(nd),
+                                memory_space=pltpu.VMEM))
+    return out
+
+
+def _seg_fwd_call(ops, bt, mm_dtype, ghost_bn, interpret, x, rescales, mixes,
+                  m1s, b1s, m2s, b2s, m3s, offs, bnrun):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x.shape[0]
+    nc = m1s.shape[0]
+    kernel = _fwd_kernel_factory(ops, bt, mm_dtype, ghost_bn)
+    batch3 = pl.BlockSpec((bt, H, L), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    consts = _vmem_specs([mixes.shape, m1s.shape, b1s.shape, m2s.shape,
+                          b2s.shape, m3s.shape, offs.shape, bnrun.shape],
+                         pl, pltpu)
+    rs_spec = pl.BlockSpec(rescales.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    z, ldj, bnacc = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[batch3, rs_spec] + consts,
+        out_specs=[batch3,
+                   pl.BlockSpec((bt, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   _vmem_specs([(nc, 4, L)], pl, pltpu)[0]],
+        out_shape=[jax.ShapeDtypeStruct((b, H, L), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nc, 4, L), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs, bnrun)
+    return z, ldj[:, 0], bnacc * (bt / b)
+
+
+def _seg_bwd_call(ops, bt, mm_dtype, interpret, x, rescales, mixes, m1s, b1s,
+                  m2s, b2s, m3s, offs, gz, gldj):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x.shape[0]
+    nc, nm = m1s.shape[0], mixes.shape[0]
+    kernel = _bwd_kernel_factory(ops, bt, mm_dtype)
+    batch3 = pl.BlockSpec((bt, H, L), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    consts = _vmem_specs([mixes.shape, m1s.shape, b1s.shape, m2s.shape,
+                          b2s.shape, m3s.shape, offs.shape], pl, pltpu)
+    rs_spec = pl.BlockSpec(rescales.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    gld_spec = pl.BlockSpec((bt, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[batch3, rs_spec] + consts + [batch3, gld_spec],
+        out_specs=[batch3] + _vmem_specs(
+            [(nc, L), (nm, L, L), (nc, 3, L, L), (nc, L, L), (nc, 3, L, L),
+             (nc, H, L)], pl, pltpu),
+        out_shape=[jax.ShapeDtypeStruct((b, H, L), jnp.float32)] + [
+            jax.ShapeDtypeStruct(s, jnp.float32) for s in
+            [(nc, L), (nm, L, L), (nc, 3, L, L), (nc, L, L), (nc, 3, L, L),
+             (nc, H, L)]],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs, gz,
+      jnp.broadcast_to(gldj.reshape(b, 1), (b, 128)))
+    gx, grs_l, gmixes, gm1s, gm2s, gm3s, goffs = outs
+    return gx, jnp.sum(grs_l, axis=1).reshape(-1, 1), gmixes, gm1s, gm2s, \
+        gm3s, goffs
+
+
+@functools.lru_cache(maxsize=64)
+def make_segment_fn(ops: Tuple, bt: int, dtype_name: str, interpret: bool):
+    """custom_vjp fused segment: (x, mats...) -> (z, ldj[B], bn_stats)."""
+    mm_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    @jax.custom_vjp
+    def seg(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs):
+        return _seg_fwd_call(ops, bt, mm_dtype, True, interpret, x, rescales,
+                             mixes, m1s, b1s, m2s, b2s, m3s, offs,
+                             jnp.zeros((max(m1s.shape[0], 1), 4, L)))
+
+    def fwd(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs):
+        out = seg(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs)
+        return out, (x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs)
+
+    def bwd(resids, cts):
+        x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs = resids
+        gz, gldj, _gbn = cts  # bn stats feed non-differentiated state
+        gx, grs, gmixes, gm1s, gm2s, gm3s, goffs = _seg_bwd_call(
+            ops, bt, mm_dtype, interpret, x, rescales, mixes, m1s, b1s, m2s,
+            b2s, m3s, offs, gz, gldj)
+        return (gx, grs, gmixes, gm1s, jnp.zeros_like(b1s), gm2s,
+                jnp.zeros_like(b2s), gm3s, goffs)
+
+    seg.defvjp(fwd, bwd)
+    return seg
+
+
+# ---------------------------------------------------------------------------
+# FusedFlow: full loss assembly
+# ---------------------------------------------------------------------------
+
+class FusedFlow:
+    """Fused-Pallas NLL/train path over a NoiseFlow.
+
+    loss(params, state, xp, condp, train) mirrors PackedFlow.loss on packed
+    [B, H, 128] tiles. train=True uses ghost-BN segment kernels (see module
+    docstring); train=False uses running BN statistics (no grads needed).
+    """
+
+    def __init__(self, flow, bt: int = 64, mm_dtype=jnp.float32,
+                 interpret: bool = None):
+        cfg = flow.cfg
+        if flow.n_levels != 1 or cfg.squeeze_factor != 1:
+            raise ValueError("fused path supports single-level unsqueezed flows")
+        if tuple(flow.x_shape) != (H, W, C):
+            raise ValueError(f"fused path requires x_shape {(H, W, C)}")
+        if getattr(cfg, "coupling_nn", "conv") == "dense":
+            raise ValueError("fused path supports only the conv coupling template")
+        if cfg.width > C:
+            raise ValueError(f"fused path supports coupling width <= {C}")
+        kinds = {s.kind for s in flow.level_specs[0]}
+        if not kinds <= SUPPORTED_KINDS:
+            raise ValueError(f"unsupported layer kinds {kinds - SUPPORTED_KINDS}")
+        self.flow = flow
+        self.cfg = cfg
+        self.bt = bt
+        self.width = cfg.width
+        self.dtype_name = ("bfloat16" if mm_dtype == jnp.bfloat16
+                           else "float32")
+        self.mm_dtype = mm_dtype
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+        # split the inverse-order spec list into kernel segments and
+        # XLA-handled scale layers
+        self.plan: List = []  # ("scale", spec_idx) | ("segment", Segment, lo, hi)
+        specs = flow.level_specs[0]
+        i = 0
+        while i < len(specs):
+            if specs[i].kind in SUPPORTED_SCALE_KINDS:
+                self.plan.append(("scale", i))
+                i += 1
+                continue
+            lo = i
+            ops, nm, nc = [], 0, 0
+            while i < len(specs) and specs[i].kind not in SUPPORTED_SCALE_KINDS:
+                if specs[i].kind == "coupling":
+                    ops.append(("coup", nc))
+                    nc += 1
+                else:
+                    ops.append(("mix", nm))
+                    nm += 1
+                i += 1
+            self.plan.append(("segment", Segment(tuple(ops), nm, nc), lo, i))
+
+    # -------------------------------------------------------------- public
+    def inverse(self, params, state, xp, cond, train: bool):
+        flow, cfg = self.flow, self.cfg
+        shared = flow._shared_view(params)
+        specs = flow.level_specs[0]
+        p_lvl, s_lvl = params["layers"][0], state["layers"][0]
+        z = xp
+        obj = jnp.zeros((xp.shape[0],), xp.dtype)
+        new_lvl = list(s_lvl)
+        cond4 = dict(cond)
+        if cond.get("clean") is not None:
+            cond4["clean"] = cond["clean"][:, None]
+
+        for item in self.plan:
+            if item[0] == "scale":
+                i = item[1]
+                ldef = get_layer_def(specs[i].kind, cfg)
+                z4, ildj, nst = ldef.inverse(p_lvl[i], shared, s_lvl[i],
+                                             z[:, None], cond4, train)
+                z = z4[:, 0]
+                obj = obj + ildj
+                new_lvl[i] = nst
+                continue
+            _, seg, lo, hi = item
+            mats, mix_logdet = _fold_segment(
+                seg, specs[lo:hi], p_lvl[lo:hi], s_lvl[lo:hi], cfg, self.width)
+            if train:
+                fn = make_segment_fn(seg.ops, self.bt, self.dtype_name,
+                                     self.interpret)
+                z, ldj, bnacc = fn(z, mats["rescales"], mats["mixes"],
+                                   mats["m1s"], mats["b1s"], mats["m2s"],
+                                   mats["b2s"], mats["m3s"], mats["offs"])
+                # running-stat update from averaged block moments
+                ci = 0
+                for j in range(lo, hi):
+                    if specs[j].kind != "coupling":
+                        continue
+                    rows = bnacc[ci]
+                    old = s_lvl[j]["nn"]
+                    wd = self.width
+                    new_lvl[j] = {"nn": {
+                        "bn1": {
+                            "mean": old["bn1"]["mean"] - BN_DECAY * (
+                                old["bn1"]["mean"] - rows[0, :wd]),
+                            "var": old["bn1"]["var"] - BN_DECAY * (
+                                old["bn1"]["var"] - rows[1, :wd]),
+                        },
+                        "bn2": {
+                            "mean": old["bn2"]["mean"] - BN_DECAY * (
+                                old["bn2"]["mean"] - rows[2, :wd]),
+                            "var": old["bn2"]["var"] - BN_DECAY * (
+                                old["bn2"]["var"] - rows[3, :wd]),
+                        },
+                    }}
+                    ci += 1
+            else:
+                z, ldj, _ = _seg_fwd_call(
+                    seg.ops, self.bt, self.mm_dtype, False, self.interpret,
+                    z, mats["rescales"], mats["mixes"], mats["m1s"],
+                    mats["b1s"], mats["m2s"], mats["b2s"], mats["m3s"],
+                    mats["offs"], mats["bnrun"])
+            obj = obj + ldj + mix_logdet
+        return z, obj, {"layers": [new_lvl]}
+
+    def loss(self, params, state, xp, cond, train: bool):
+        c = cond if self.flow._is_cond else {"clean": None}
+        z, obj, new_state = self.inverse(params, state, xp, c, train)
+        obj = obj + diag_gaussian_logp(z)
+        nll = -obj
+        var_z = jnp.var(z.reshape(z.shape[0], -1), axis=1)
+        sd_z = jnp.mean(jnp.sqrt(var_z))
+        return jnp.mean(nll), sd_z, new_state
