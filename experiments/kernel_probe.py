@@ -59,8 +59,10 @@ def make_kernel(ops, rescales, bt, mm_dtype, temp, variant):
         pltpu.prng_seed(first_ref[0, 0] + pl.program_id(0))
         xs = []
         for s in range(n_split):
-            b1 = pltpu.bitcast(pltpu.prng_random_bits((btc, H, WC)), jnp.uint32)
-            b2 = pltpu.bitcast(pltpu.prng_random_bits((btc, H, WC)), jnp.uint32)
+            b1 = pltpu.bitcast(pltpu.prng_random_bits((btc, H // 2, WC)),
+                               jnp.uint32)
+            b2 = pltpu.bitcast(pltpu.prng_random_bits((btc, H // 2, WC)),
+                               jnp.uint32)
             xs.append(ps._box_muller(b1, b2) * temp)
         for op in ops:
             kind, idx = op[0], op[1]
@@ -146,7 +148,7 @@ def run(program, seed, clean, sa, sb, bt, mm_dtype, temp, variant):
 cfg = default_config(patch_height=32)
 flow = NoiseFlow((32, 32, 4), cfg)
 params, state = flow.init(jax.random.PRNGKey(0))
-program = ps.build_sample_program(flow, params, state)
+program = ps.build_sample_program(flow, params, state, version=1)
 
 batch = 8192
 rng0 = np.random.default_rng(0)

@@ -62,6 +62,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iso", type=int, default=None, help="filter by ISO")
     p.add_argument("--synthetic_data", type=int, default=0, metavar="N",
                    help="use N synthetic images instead of SIDD (smoke runs)")
+    p.add_argument("--n_tr_inst", type=int, default=None,
+                   help="cap number of training scene instances")
+    p.add_argument("--n_ts_inst", type=int, default=None,
+                   help="cap number of testing scene instances")
+    p.add_argument("--shuffle_patches", action="store_true",
+                   help="shuffle the uniform patch grid per image "
+                        "(ref:sidd_utils.py:838-844)")
+    p.add_argument("--calc_pat_stats_and_baselines_only", action="store_true",
+                   help="compute patch stats + Gaussian/NLF baselines, then exit")
+    p.add_argument("--calc_hists_only", action="store_true",
+                   help="compute train/test intensity histograms, then exit")
     # --- training (ref:ArgParser.py:25-36,62,126-151) ---
     p.add_argument("--logdir", type=str, default="./experiments/sidd/run0")
     p.add_argument("--n_batch_train", type=int, default=138)
