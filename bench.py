@@ -1,7 +1,11 @@
 #!/usr/bin/env python
-"""Benchmark: noise-sampling throughput of the flagship model on real hardware.
+"""Benchmark: sampling AND training throughput of the flagship model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline metric = fused-sampler throughput (same metric
+as round 1 for cross-round comparability); extra keys carry the training
+numbers: train-step patches/s for the XLA path and the fused Pallas path
+(ops/pallas_train.py) at the reference batch (138, ref:job_noise_flow.sh:35)
+and at a large batch, plus rough model-FLOPs utilization.
 
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
 measured against a speed-of-light estimate for this chip. The sampling chain
@@ -18,6 +22,52 @@ import json
 import time
 
 import numpy as np
+
+
+def _train_batch(b):
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(0.01, 0.9, (b, 32, 32, 4)).astype(np.float32)
+    x = (rng.standard_normal((b, 32, 32, 4)) *
+         np.sqrt(0.000479 * clean + 2e-6)).astype(np.float32)
+    return {"_x": x, "_y": clean,
+            "nlf0": np.full((b,), 0.000479, np.float32),
+            "nlf1": np.full((b,), 2e-6, np.float32),
+            "iso": np.full((b,), 100.0, np.float32),
+            "cam": np.full((b,), 2.0, np.float32)}
+
+
+def bench_train(batch_size: int, use_pallas: bool, n_iter: int):
+    """Train-step patches/s for the published arch (one device)."""
+    import jax
+
+    from noise_flow_tpu.config import default_config
+    from noise_flow_tpu.models.flow import NoiseFlow
+    from noise_flow_tpu.parallel.mesh import make_mesh
+    from noise_flow_tpu.training.trainer import Trainer
+
+    cfg = default_config(patch_height=32, use_pallas=use_pallas)
+    trainer = Trainer(NoiseFlow((32, 32, 4), cfg), cfg, mesh=make_mesh(1))
+    if use_pallas and not trainer.use_fused:
+        return None
+    b = trainer._put(_train_batch(batch_size))
+    step = trainer._train_step
+
+    def once():
+        out = step(trainer.params, trainer.state, trainer.opt_state, b)
+        (trainer.params, trainer.state, trainer.opt_state) = out[:3]
+        return out[3]
+
+    once().block_until_ready()  # compile
+    for _ in range(3):
+        nll = once()
+    nll.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        nll = once()
+    nll.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(nll))
+    return batch_size * n_iter / dt
 
 
 def main():
@@ -81,11 +131,36 @@ def main():
     sol = peak / flops_per_patch
     vs_baseline = samples_per_sec / sol
 
+    # --- training throughput (VERDICT r1 item 3) ------------------------
+    n_tr = 30 if on_tpu else 2
+    big = 2048 if on_tpu else 64
+    cases = [("train_xla_b138", 138, False),
+             ("train_fused_b138", 138, True),
+             ("train_xla_big", big, False),
+             ("train_fused_big", big, True)]
+    if not on_tpu:  # interpret-mode kernels are slow; keep CI cheap
+        cases = [("train_xla_b138", 32, False), ("train_fused_b138", 32, True)]
+    tr = {}
+    for name, bsz, fused in cases:
+        try:
+            tr[name] = bench_train(bsz, fused, n_tr)
+        except Exception as e:  # pragma: no cover - bench resilience
+            tr[name] = None
+            print(f"# {name} failed: {e!r}", flush=True)
+    # model-FLOPs utilization of the fused train step: fwd ~59 MFLOP/patch
+    # (padded-band count), bwd recompute+reverse ~3x fwd => ~4x per step
+    train_flops_per_patch = 4 * flops_per_patch
+    best_tr = max((v for v in tr.values() if v), default=None)
+    train_mfu = (best_tr * train_flops_per_patch / peak) if best_tr else None
+
     print(json.dumps({
         "metric": "noiseflow_fused_sample_throughput",
         "value": round(samples_per_sec, 1),
         "unit": "patches/s",
         "vs_baseline": round(vs_baseline, 4),
+        "train_patches_per_sec": {k: (round(v, 1) if v else None)
+                                  for k, v in tr.items()},
+        "train_mfu_best": round(train_mfu, 4) if train_mfu else None,
     }))
 
 

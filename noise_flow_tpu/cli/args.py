@@ -63,9 +63,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", type=int, default=0, metavar="N",
                    help="use N synthetic images instead of SIDD (smoke runs)")
     p.add_argument("--n_tr_inst", type=int, default=None,
-                   help="cap number of training scene instances")
+                   help="cap enumerated training scene instances (quick-run "
+                        "aid; the reference recorded the enumerated count "
+                        "instead, ref:Initialization.py:31-33)")
     p.add_argument("--n_ts_inst", type=int, default=None,
-                   help="cap number of testing scene instances")
+                   help="cap enumerated testing scene instances (see "
+                        "--n_tr_inst)")
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="npy cache dir for decoded SIDD images: built on "
+                        "first run, reused afterwards (data/cache.py)")
+    p.add_argument("--native_loader", action="store_true",
+                   help="stream minibatches through the C++ threaded loader "
+                        "(native/patch_loader.cc) instead of the in-RAM "
+                        "PatchDataset; requires --cache_dir")
+    p.add_argument("--download_sidd", action="store_true",
+                   help="auto-download SIDD_Medium_Raw (~20 GB) if missing "
+                        "(ref:sidd/data_loader.py:34-45)")
+    # --- multi-host (SURVEY.md §2.6; jax.distributed over a pod slice) ---
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0; enables jax.distributed "
+                        "multi-process init")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--shuffle_patches", action="store_true",
                    help="shuffle the uniform patch grid per image "
                         "(ref:sidd_utils.py:838-844)")

@@ -52,17 +52,22 @@ def extract_patches(image: np.ndarray, ii, jj, ph: int, pw: int) -> np.ndarray:
 
 def sample_image_patches(sample: Dict, patch_size: int,
                          n_patches_per_image: int, sampling: str = "uniform",
-                         rng: Optional[np.random.Generator] = None):
+                         rng: Optional[np.random.Generator] = None,
+                         shuffle_patches: bool = False):
     """One loaded image dict -> patch arrays.
 
     Uniform mode keeps the reference's centering: if fewer patches are
     requested than the grid provides, take the middle run
-    (ref:sidd_utils.py:305-307).
+    (ref:sidd_utils.py:305-307). With shuffle_patches the full grid is
+    permuted BEFORE the centered slice, exactly like the reference's
+    ``sample_indices_uniform(shuf=True)`` (ref:sidd_utils.py:830-846; the
+    published run used shuffle_patches=True, models/NoiseFlow/hps.txt).
     """
     h, w = sample["noise"].shape[1:3]
     ph = pw = patch_size
     if sampling == "uniform":
-        ii, jj, max_p = sample_indices_uniform(h, w, ph, pw)
+        ii, jj, max_p = sample_indices_uniform(h, w, ph, pw,
+                                               shuf=shuffle_patches, rng=rng)
         n = min(n_patches_per_image, max_p)
         offset = int((max_p - n) / 2)
         ii, jj = ii[offset:offset + n], jj[offset:offset + n]
@@ -85,12 +90,13 @@ class PatchDataset:
 
     def __init__(self, samples: List[Dict], patch_size: int,
                  n_patches_per_image: int, sampling: str = "uniform",
-                 seed: int = 0):
+                 seed: int = 0, shuffle_patches: bool = False):
         xs, ys, nlf0, nlf1, iso, cam = [], [], [], [], [], []
         rng = np.random.default_rng(seed)
         for s in samples:
             n, c = sample_image_patches(s, patch_size, n_patches_per_image,
-                                        sampling, rng)
+                                        sampling, rng,
+                                        shuffle_patches=shuffle_patches)
             xs.append(n)
             ys.append(c)
             k = n.shape[0]

@@ -118,13 +118,20 @@ def sidd_filename_tuples(
     last_im_idx: int = 1,
     cam: Optional[str] = None,
     iso: Optional[int] = None,
+    max_instances: Optional[int] = None,
 ) -> Tuple[List[Tuple[str, str, str, str]], int]:
     """Enumerate (NOISY, GT, VARIANCE, METADATA) .MAT tuples for the split
-    (ref:sidd_utils.py:884-929). Returns (tuples, n_instances)."""
+    (ref:sidd_utils.py:884-929). Returns (tuples, n_instances).
+
+    max_instances caps the enumerated scene instances (quick-run aid; the
+    reference's hps.n_tr_inst was informational — overwritten from the
+    enumeration, ref:sidd/Initialization.py:31-33)."""
     inst_idxs = TRAIN_INSTANCE_IDS if train_or_test == "train" else TEST_INSTANCE_IDS
     fns: List[Tuple[str, str, str, str]] = []
     cnt_inst = 0
     for idx in inst_idxs:
+        if max_instances is not None and cnt_inst >= max_instances:
+            break
         id_str = "%04d" % idx
         matches = glob.glob(path.join(sidd_path, id_str + "*"))
         if not matches:

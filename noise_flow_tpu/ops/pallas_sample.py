@@ -28,9 +28,12 @@ Every channel-mixing op folds into banded 128x128 matmuls on the MXU:
   evaluating the layer's forward at clean=0 and clean=1 (gain-family layers
   ignore clean, so a = 0 and the sqrt is a per-example constant).
 
-BatchNorm note: this kernel uses *running* statistics (inference mode). The
-reference's wrapper feeds is_training=True while sampling
-(ref:NoiseFlowWrapper.py:86); for bit-parity with that quirk use the XLA path.
+BatchNorm note: two modes. bn_mode='running' folds inference statistics into
+the conv matrices (fastest). bn_mode='batch' reproduces the reference
+wrapper's is_training=True quirk (ref:NoiseFlowWrapper.py:86): per-block
+batch moments are computed IN-KERNEL (two extra channel-select matmuls per
+BN); with block == batch this is bit-parity with the XLA train-BN path, and
+for larger batches it is the deterministic ghost-BN variant.
 """
 
 from __future__ import annotations
@@ -95,12 +98,16 @@ def _bn_fold(ms: np.ndarray, bias: np.ndarray, bn: Dict) -> Tuple[np.ndarray, np
     return ms * scale_lane[None, None, :], bias_lane.astype(np.float32)
 
 
-def _coupling_fold(p: Dict, s: Dict, rescale: float) -> Dict:
+def _coupling_fold(p: Dict, s: Dict, rescale: float,
+                   fold_bn: bool = True) -> Dict:
     """Fold one affine coupling's NN into kernel tensors.
 
     Input half = channels {0,1}; coupled half = channels {2,3}. The final
     256-wide matrix writes shift into lanes [w*4+2, w*4+3] of cols 0..127 and
     log_scale into the same lanes of cols 128..255.
+
+    fold_bn=False (bn_mode='batch') leaves BN out of the matrices: raw conv
+    bias lanes are emitted and the kernel normalizes with in-block moments.
     """
     if "l1_w" not in p:
         raise ValueError("pallas sampler supports only the conv coupling "
@@ -111,10 +118,16 @@ def _coupling_fold(p: Dict, s: Dict, rescale: float) -> Dict:
         raise ValueError(f"pallas sampler supports coupling width <= {C}, "
                          f"got {width} (lane groups hold {C} channels)")
     m1 = _band_matrix(np.asarray(p["l1_w"]))                       # [3,128,128]
-    m1, b1 = _bn_fold(m1, np.asarray(p["l1_b"]).reshape(-1), s["bn1"])
     m2_full = _band_matrix(np.asarray(p["l2_w"]))                  # [3,128,128]
-    m2_full, b2 = _bn_fold(m2_full, np.asarray(p["l2_b"]).reshape(-1),
-                           s["bn2"])
+    if fold_bn:
+        m1, b1 = _bn_fold(m1, np.asarray(p["l1_b"]).reshape(-1), s["bn1"])
+        m2_full, b2 = _bn_fold(m2_full, np.asarray(p["l2_b"]).reshape(-1),
+                               s["bn2"])
+    else:
+        def lane(v):
+            return np.tile(np.pad(np.asarray(v).reshape(-1),
+                                  (0, WC // W - width)), W).astype(np.float32)
+        b1, b2 = lane(p["l1_b"]), lane(p["l2_b"])
     m2 = m2_full[1]                                                # 1x1: middle band only
 
     # zero-conv: fold exp(3*logs) scaling; route outputs to coupled lanes
@@ -142,7 +155,8 @@ def _coupling_fold(p: Dict, s: Dict, rescale: float) -> Dict:
             "rescale": float(rescale)}
 
 
-def _coupling_fold2(p: Dict, s: Dict, rescale: float) -> Dict:
+def _coupling_fold2(p: Dict, s: Dict, rescale: float,
+                    fold_bn: bool = True) -> Dict:
     """v2 fold: fewer padded matmuls than `_coupling_fold`.
 
     Two packings exploit the coupling's channel split (NN reads channels
@@ -161,7 +175,7 @@ def _coupling_fold2(p: Dict, s: Dict, rescale: float) -> Dict:
 
     Per-patch-row padded FLOPs drop from 327,680 to 196,608 per coupling.
     """
-    v1 = _coupling_fold(p, s, rescale)
+    v1 = _coupling_fold(p, s, rescale, fold_bn=fold_bn)
     m1, b1 = v1["m1"], v1["b1"]
     m1a = np.zeros((WC, WC), np.float32)
     for w in range(W):
@@ -202,10 +216,14 @@ def _perm_matrix() -> np.ndarray:
 class SampleProgram:
     """Static kernel program: layer op-list + stacked weight tensors."""
 
-    def __init__(self, ops, mixes, couplings, flow, version: int = 1):
+    def __init__(self, ops, mixes, couplings, flow, version: int = 1,
+                 bn_mode: str = "running"):
         self.ops = ops                # list of ("mix",i)|("coupling",i)|("scale",i)
         self.flow = flow
         self.version = version
+        self.bn_mode = bn_mode
+        # per-coupling NN width (for dead-lane masking under ghost BN)
+        self.width = flow.cfg.width
         self.n_scale = sum(1 for o in ops if o[0] == "scale")
         self.scale_layers = [o[2] for o in ops if o[0] == "scale"]
         if mixes:
@@ -270,11 +288,15 @@ class SampleProgram:
         return jnp.concatenate(a_cols, 1), jnp.concatenate(b_cols, 1)
 
 
-def build_sample_program(flow, params, state, version: int = 2) -> SampleProgram:
+def build_sample_program(flow, params, state, version: int = 2,
+                         bn_mode: str = "running") -> SampleProgram:
     """Fold a NoiseFlow's params into a fused sampling program.
 
     version=2 (default) uses the packed-matmul coupling fold (`_coupling_fold2`,
     ~1.57x fewer padded MXU FLOPs); version=1 keeps the original layout.
+    bn_mode='batch' computes coupling-NN BN from in-block batch moments
+    (the reference wrapper's is_training=True quirk, NoiseFlowWrapper.py:86);
+    'running' folds inference statistics into the matrices.
     """
     cfg = flow.cfg
     if flow.n_levels != 1 or cfg.squeeze_factor != 1:
@@ -299,7 +321,8 @@ def build_sample_program(flow, params, state, version: int = 2) -> SampleProgram
         elif s.kind == "coupling":
             fold = _coupling_fold2 if version == 2 else _coupling_fold
             couplings.append(fold(
-                p["nn"], st["nn"], float(np.asarray(p["rescale"]))))
+                p["nn"], st["nn"], float(np.asarray(p["rescale"])),
+                fold_bn=bn_mode == "running"))
             ops.append(("coupling", len(couplings) - 1))
         elif s.kind in SUPPORTED_SCALE_KINDS:
             from noise_flow_tpu.models.layers import get_layer_def
@@ -314,7 +337,8 @@ def build_sample_program(flow, params, state, version: int = 2) -> SampleProgram
         if o[0] == "scale":
             ops[i] = ("scale", k, o[2])
             k += 1
-    return SampleProgram(ops, mixes, couplings, flow, version=version)
+    return SampleProgram(ops, mixes, couplings, flow, version=version,
+                         bn_mode=bn_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -348,9 +372,12 @@ def _box_muller(bits1, bits2):
 
 
 def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
-                 use_prng: bool, version: int = 1):
+                 use_prng: bool, version: int = 1,
+                 bn_mode: str = "running"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from noise_flow_tpu.ops.nn import BN_EPS as _BN_EPS
 
     # f32 operands on the MXU default to a single bf16 pass inside Mosaic;
     # request HIGHEST so the f32 path really is f32 (multi-pass).
@@ -362,6 +389,26 @@ def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
                        preferred_element_type=jnp.float32,
                        precision=precision)
 
+    n_el = bt * H * W  # elements per channel per block (ghost BN)
+
+    def mm32(a, b):  # stats matmul always f32 (moments must be accurate)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def chan_sel():
+        li = jax.lax.broadcasted_iota(jnp.int32, (WC, WC), 0) % C
+        lj = jax.lax.broadcasted_iota(jnp.int32, (WC, WC), 1) % C
+        return (li == lj).astype(jnp.float32)
+
+    def bn_ghost(h2, csel):
+        """h2 [bt*H, WC] -> normalized with per-block channel moments
+        (the reference wrapper's is_training=True BN,
+        ref:NoiseFlowWrapper.py:86; dead lanes have var 0 -> 0/sqrt(eps)=0)."""
+        m = mm32(jnp.sum(h2, axis=0, keepdims=True), csel) * (1.0 / n_el)
+        d = h2 - m
+        v = mm32(jnp.sum(d * d, axis=0, keepdims=True), csel) * (1.0 / n_el)
+        return d * jax.lax.rsqrt(v + _BN_EPS)
+
     def kernel(first_ref, clean_ref, sa_ref, sb_ref, *rest):
         out_ref = rest[-1]
         if version == 1:
@@ -372,6 +419,14 @@ def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
              m3s_ref, offs_ref) = rest[:-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WC), 2)
         keep_mask = (lane % C) < (C // 2)  # uncoupled channels {0,1}
+        csel = chan_sel() if bn_mode == "batch" else None
+
+        def bn_act(h2):
+            """post-conv activation: ghost-BN normalize (batch mode) + relu;
+            running mode has BN pre-folded into the matrices."""
+            if bn_mode == "batch":
+                h2 = bn_ghost(h2, csel)
+            return jax.nn.relu(h2)
         if use_prng:
             # first_ref is a (1,1) SMEM seed; draw eps on-chip (no HBM eps).
             # Box-Muller yields 2 normals per uniform pair -> half-height bits.
@@ -399,9 +454,9 @@ def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
                 h = mm(x.reshape(bt * H, WC), m1s_ref[idx, 1])
                 h += mm(_shift_h(x, -1).reshape(bt * H, WC), m1s_ref[idx, 0])
                 h += mm(_shift_h(x, 1).reshape(bt * H, WC), m1s_ref[idx, 2])
-                h = jax.nn.relu(h + b1s_ref[idx].reshape(1, WC))
-                h = jax.nn.relu(mm(h, m2s_ref[idx])
-                                + b2s_ref[idx].reshape(1, WC))
+                h = bn_act(h + b1s_ref[idx].reshape(1, WC))
+                h = bn_act(mm(h, m2s_ref[idx])
+                           + b2s_ref[idx].reshape(1, WC))
                 h3 = h.reshape(bt, H, WC)
                 t = mm(h, m3s_ref[idx, 1])
                 t += mm(_shift_h(h3, -1).reshape(bt * H, WC), m3s_ref[idx, 0])
@@ -417,9 +472,9 @@ def _make_kernel(ops, rescales, bt: int, mm_dtype, temp: float,
                 z = jnp.where(keep_mask, x, jnp.roll(xu, 2, axis=-1))
                 h = mm(z.reshape(bt * H, WC), m1as_ref[idx])
                 h += mm(_shift_h(x, 1).reshape(bt * H, WC), m1bs_ref[idx])
-                h = jax.nn.relu(h + b1s_ref[idx].reshape(1, WC))
-                h = jax.nn.relu(mm(h, m2s_ref[idx])
-                                + b2s_ref[idx].reshape(1, WC))
+                h = bn_act(h + b1s_ref[idx].reshape(1, WC))
+                h = bn_act(mm(h, m2s_ref[idx])
+                           + b2s_ref[idx].reshape(1, WC))
                 h3 = h.reshape(bt, H, WC)
                 t = mm(h, m3s_ref[idx, 1])
                 t += mm(_shift_h(h3, -1).reshape(bt * H, WC), m3s_ref[idx, 0])
@@ -447,7 +502,7 @@ def _pallas_sample_padded(program: SampleProgram, first, clean, sa, sb,
     b = clean.shape[0]
     grid = (b // bt,)
     kernel = _make_kernel(program.ops, tuple(program.rescales), bt, mm_dtype,
-                          temp, use_prng, program.version)
+                          temp, use_prng, program.version, program.bn_mode)
 
     def batch_spec(cols=None):
         if cols is None:

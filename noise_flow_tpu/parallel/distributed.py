@@ -68,6 +68,50 @@ def all_gather_samples(x, axis_name: str = "data"):
     return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
 
 
+def global_scalar_stats(x: np.ndarray, y: np.ndarray) -> Dict[str, float]:
+    """Cross-process twin of data.stats.calc_pat_stats: each host computes
+    Welford pieces (n, mean, m2) over its local noise/clean patch shard, the
+    pieces are allgathered over DCN, and merged pairwise-stably. Single
+    process: identical to calc_pat_stats up to f32 gather rounding."""
+    from noise_flow_tpu.data.stats import calc_pat_stats
+
+    if jax.process_count() == 1:
+        return calc_pat_stats(x, y)
+
+    from jax.experimental import multihost_utils
+
+    local = []
+    for arr in (x, y):
+        a = arr.astype(np.float64)
+        local += [float(a.size), float(a.mean()), float(a.var() * a.size)]
+    gathered = np.asarray(multihost_utils.process_allgather(
+        np.asarray(local, np.float32)))  # [P, 6]
+    out: Dict[str, float] = {}
+    for qi, prefix in enumerate(("sc_in", "sc_gt")):
+        shards = [{"n": row[3 * qi], "mean": row[3 * qi + 1],
+                   "m2": row[3 * qi + 2]} for row in gathered]
+        merged = merge_welford_shards(shards)
+        mean = float(merged["mean"])
+        vr = float(merged["m2"] / max(merged["n"], 1.0))
+        out[f"{prefix}_mean"] = mean
+        out[f"{prefix}_vr"] = vr
+        out[f"{prefix}_sd"] = out[f"{prefix}_std"] = float(np.sqrt(vr))
+    return out
+
+
+def global_baselines(nll_gauss: float, nll_sdn: float) -> tuple:
+    """Average the per-host baseline NLLs across processes (each host computed
+    them over its own test shard; equal-weight mean matches the reference's
+    per-minibatch averaging, ref:PatchStatsCalculator.py:117-120)."""
+    if jax.process_count() == 1:
+        return nll_gauss, nll_sdn
+    from jax.experimental import multihost_utils
+
+    g = np.asarray(multihost_utils.process_allgather(
+        np.asarray([nll_gauss, nll_sdn], np.float32)))
+    return float(g[:, 0].mean()), float(g[:, 1].mean())
+
+
 def merge_welford_shards(shards: List[Dict]) -> Dict:
     """Merge per-host Welford stats {'n','mean','m2'} pairwise-stably
     (SURVEY.md §7 'stats bit-exactness')."""

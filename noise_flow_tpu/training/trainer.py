@@ -51,6 +51,17 @@ def batch_to_cond(mb: Dict) -> Dict:
     }
 
 
+def _pick_block(b: int, target: int = 256) -> int:
+    """Largest divisor of the batch <= target, used as the fused kernel's
+    per-grid-step block. b <= target keeps ghost BN == exact batch BN."""
+    if b <= target:
+        return b
+    for bt in range(target, 0, -1):
+        if b % bt == 0:
+            return bt
+    return b
+
+
 class Trainer:
     def __init__(self, flow, cfg, mesh=None, param_inits=None):
         self.flow = flow
@@ -66,16 +77,87 @@ class Trainer:
         self.params = replicate(self.mesh, self.params)
         self.state = replicate(self.mesh, self.state)
         self.opt_state = replicate(self.mesh, self.opt_state)
+        # fused Pallas NLL/backward path (ops/pallas_train.py). NOTE: for
+        # batches larger than the kernel block this uses ghost-BN semantics
+        # (per-block batch moments) — see the module docstring; parity with
+        # the reference's exact batch BN holds when batch <= 256.
+        self._fused_cache = {}
+        self.use_fused = False
+        if getattr(cfg, "use_pallas", False):
+            from noise_flow_tpu.ops.pallas_train import FusedFlow
+            try:
+                FusedFlow(flow, bt=8)  # envelope check only
+                self.use_fused = True
+                self._fused_cls = FusedFlow
+            except ValueError as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "use_pallas requested but arch outside the fused "
+                    "envelope (%s); falling back to the XLA path", e)
         self._build_steps()
+
+    def _fused_for_batch(self, b: int):
+        bt = _pick_block(b)
+        if bt not in self._fused_cache:
+            self._fused_cache[bt] = self._fused_cls(self.flow, bt=bt)
+        return self._fused_cache[bt]
+
+    @staticmethod
+    def _pack_batch(batch):
+        """NHWC [B,32,32,4] -> packed [B,32,128] views (free reshapes)."""
+        b = batch["_x"].shape[0]
+        xp = batch["_x"].reshape(b, 32, 128)
+        cond = batch_to_cond(batch)
+        cond["clean"] = cond["clean"].reshape(b, 32, 128)
+        return xp, cond
+
+    def _fused_loss(self, params, state, batch, train: bool):
+        """Fused-kernel loss, shard_map'd over the data mesh when it has more
+        than one device (a Pallas call is opaque to the auto-partitioner, so
+        each device runs its own kernel over its batch shard; metrics and BN
+        updates pmean over the axis — XLA turns the grad psum into the usual
+        data-parallel all-reduce under value_and_grad)."""
+        xp, cond = self._pack_batch(batch)
+        if self.mesh.size == 1:
+            ff = self._fused_for_batch(xp.shape[0])
+            return ff.loss(params, state, xp, cond, train)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        trainer = self
+
+        def local(p_, st_, xp_, cond_):
+            ff = trainer._fused_for_batch(xp_.shape[0])
+            nll, sd_z, new_state = ff.loss(p_, st_, xp_, cond_, train)
+            nll = jax.lax.pmean(nll, axis)
+            sd_z = jax.lax.pmean(sd_z, axis)
+            new_state = jax.tree_util.tree_map(
+                lambda s: jax.lax.pmean(s, axis), new_state)
+            return nll, sd_z, new_state
+
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # metadata, which the checker would otherwise require
+        return shard_map(local, mesh=self.mesh,
+                         in_specs=(P(), P(), P(axis), P(axis)),
+                         out_specs=(P(), P(), P()),
+                         check_vma=False)(params, state, xp, cond)
 
     # ------------------------------------------------------------------ jit
     def _build_steps(self):
         flow, optimizer = self.flow, self.optimizer
+        trainer = self
 
         def train_step(params, state, opt_state, batch):
             def loss_fn(p):
-                nll, sd_z, new_state = flow.loss(
-                    p, state, batch["_x"], batch_to_cond(batch), train=True)
+                if trainer.use_fused:
+                    nll, sd_z, new_state = trainer._fused_loss(
+                        p, state, batch, train=True)
+                else:
+                    nll, sd_z, new_state = flow.loss(
+                        p, state, batch["_x"], batch_to_cond(batch),
+                        train=True)
                 return nll, (sd_z, new_state)
 
             (nll, (sd_z, new_state)), grads = jax.value_and_grad(
@@ -85,8 +167,13 @@ class Trainer:
             return new_params, new_state, new_opt, nll, sd_z
 
         def eval_step(params, state, batch):
-            nll, sd_z, _ = flow.loss(
-                params, state, batch["_x"], batch_to_cond(batch), train=False)
+            if trainer.use_fused:
+                nll, sd_z, _ = trainer._fused_loss(
+                    params, state, batch, train=False)
+            else:
+                nll, sd_z, _ = flow.loss(
+                    params, state, batch["_x"], batch_to_cond(batch),
+                    train=False)
             return nll, sd_z
 
         def sample_step(params, state, rng, batch, temp):
@@ -101,13 +188,36 @@ class Trainer:
 
     # ---------------------------------------------------------------- loops
     def _put(self, mb: Dict) -> Dict:
+        """Host batch -> device-sharded global batch.
+
+        Multi-process: each host contributes its LOCAL shard (global_batch
+        assembles without host-side gathers; feed every host the same number
+        of equally-sized batches per epoch — host_shard + drop_remainder).
+        """
         keep = {k: mb[k] for k in ("_x", "_y", "nlf0", "nlf1", "iso", "cam")}
+        if jax.process_count() > 1:
+            from noise_flow_tpu.parallel.distributed import global_batch
+            return global_batch(self.mesh, keep)
         return shard_batch(self.mesh, keep)
+
+    def _prefetched(self, batches: Iterable[Dict]):
+        """One-batch-ahead host->device transfer. device_put and jitted step
+        dispatch are both async, so the N+1 transfer rides the interconnect
+        while step N computes (replaces the reference's ImageLoader thread
+        pool, ref:sidd/ImageLoader.py:36-78)."""
+        it = iter(batches)
+        try:
+            nxt = self._put(next(it))
+        except StopIteration:
+            return
+        for mb in it:
+            cur, nxt = nxt, self._put(mb)
+            yield cur
+        yield nxt
 
     def train_epoch(self, batches: Iterable[Dict]):
         losses, sdzs = [], []
-        for mb in batches:
-            b = self._put(mb)
+        for b in self._prefetched(batches):
             if self.trainable:
                 self.params, self.state, self.opt_state, nll, sd_z = \
                     self._train_step(self.params, self.state, self.opt_state, b)
@@ -119,18 +229,20 @@ class Trainer:
 
     def eval_epoch(self, batches: Iterable[Dict]):
         losses, sdzs = [], []
-        for mb in batches:
-            nll, sd_z = self._eval_step(self.params, self.state, self._put(mb))
+        for b in self._prefetched(batches):
+            nll, sd_z = self._eval_step(self.params, self.state, b)
             losses.append(nll)
             sdzs.append(sd_z)
         return float(jnp.mean(jnp.stack(losses))), float(jnp.mean(jnp.stack(sdzs)))
 
     def sample_epoch(self, batches: Iterable[Dict], temp: float, rng,
                      sc_sd: float = 1.0, fix_cam_iso: bool = True,
-                     compute_kld: bool = True):
+                     compute_kld: bool = True, vis_dir: Optional[str] = None):
         """Per-epoch sampling diagnostics (ref:train_noise_flow.py:139-184):
         sample with (optionally) fixed cam=S6 iso=100, push samples back
-        through the inverse for their NLL, and compute marginal KLDs."""
+        through the inverse for their NLL, and compute marginal KLDs.
+        With vis_dir, dumps the per-patch .mat artifact set there
+        (ref:train_noise_flow.py:176-177 -> sidd_utils.py:995-1058)."""
         nlf_s6 = {100: 0.000479, 400: 0.001774, 800: 0.003696,
                   1600: 0.008211, 3200: 0.019930}
         losses, sdzs, klds = [], [], []
@@ -152,8 +264,17 @@ class Trainer:
             losses.append(nll)
             sdzs.append(sd_z)
             if compute_kld:
-                xs = np.asarray(x_sample)
-                klds.append(calc_kldiv_mb(mb, xs, sc_sd))
+                if jax.process_count() > 1:
+                    # only this host's shard is addressable; its rows are
+                    # exactly this host's contribution to the global batch
+                    shards = sorted(x_sample.addressable_shards,
+                                    key=lambda s: s.index[0].start or 0)
+                    xs = np.concatenate([np.asarray(s.data) for s in shards])
+                    mb = {k: np.asarray(v)[:len(xs)] if np.ndim(v) else v
+                          for k, v in mb.items()}
+                else:
+                    xs = np.asarray(x_sample)
+                klds.append(calc_kldiv_mb(mb, xs, sc_sd, vis_dir=vis_dir))
         kld = np.mean(np.stack(klds), axis=0) if klds else np.zeros(4)
         return (float(jnp.mean(jnp.stack(losses))),
                 float(jnp.mean(jnp.stack(sdzs))), kld)
@@ -168,18 +289,31 @@ class Trainer:
         returning fresh batch iterators per epoch."""
         cfg = self.cfg
         epochs = epochs or cfg.epochs
+        # multi-process: only process 0 writes checkpoints/logs; metrics are
+        # already global (psum'd) so every process agrees on best-model
+        is_chief = jax.process_index() == 0
         os.makedirs(logdir, exist_ok=True)
         ckpt_dir = os.path.join(logdir, "ckpt")
 
+        class _NullLogger:
+            def log(self, row):
+                pass
+
+            def close(self):
+                pass
+
+        def mk_logger(name, columns):
+            if not is_chief:
+                return _NullLogger()
+            return ResultLogger(os.path.join(logdir, name), columns,
+                                cfg.continue_training)
+
         cols = ["epoch", "NLL", "NLL_G", "NLL_SDN", "sdz"]
-        train_logger = ResultLogger(os.path.join(logdir, "train.txt"),
-                                    cols + ["train_time"], cfg.continue_training)
-        test_logger = ResultLogger(os.path.join(logdir, "test.txt"),
-                                   cols + ["msg"], cfg.continue_training)
-        sample_logger = ResultLogger(
-            os.path.join(logdir, "sample.txt"),
-            cols + ["sample_time", "KLD_G", "KLD_NLF", "KLD_NF", "KLD_R"],
-            cfg.continue_training)
+        train_logger = mk_logger("train.txt", cols + ["train_time"])
+        test_logger = mk_logger("test.txt", cols + ["msg"])
+        sample_logger = mk_logger(
+            "sample.txt",
+            cols + ["sample_time", "KLD_G", "KLD_NLF", "KLD_NF", "KLD_R"])
 
         start_epoch = 1
         if cfg.continue_training:
@@ -201,12 +335,14 @@ class Trainer:
             if do_test:
                 ts_nll, ts_sdz = self.eval_epoch(test_batches_fn())
                 history["test"].append(ts_nll)
-                save_checkpoint(ckpt_dir, epoch, self.params, self.state,
-                                self.opt_state, epoch)
+                if is_chief:
+                    save_checkpoint(ckpt_dir, epoch, self.params, self.state,
+                                    self.opt_state, epoch)
                 if ts_nll < best_nll:
                     best_nll = ts_nll
-                    save_checkpoint(ckpt_dir, "best", self.params, self.state,
-                                    self.opt_state, epoch)
+                    if is_chief:
+                        save_checkpoint(ckpt_dir, "best", self.params,
+                                        self.state, self.opt_state, epoch)
                     is_best = 1
                 test_logger.log({"epoch": epoch, "NLL": ts_nll,
                                  "NLL_G": nll_gauss, "NLL_SDN": nll_sdn,
@@ -215,8 +351,13 @@ class Trainer:
             if do_sampling and do_test:
                 t0 = time.time()
                 rng, k = jax.random.split(rng)
+                # per-epoch sample visualization artifacts
+                # (ref:train_noise_flow.py:176-177)
+                vis_dir = os.path.join(
+                    logdir, "samples_epoch_%04d" % epoch,
+                    "samples_%.1f" % cfg.temp)
                 sm_nll, sm_sdz, kld = self.sample_epoch(
-                    test_batches_fn(), cfg.temp, k, sc_sd)
+                    test_batches_fn(), cfg.temp, k, sc_sd, vis_dir=vis_dir)
                 history["sample"].append(sm_nll)
                 sample_logger.log({
                     "epoch": epoch, "NLL": sm_nll, "NLL_G": nll_gauss,

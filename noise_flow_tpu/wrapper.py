@@ -54,19 +54,34 @@ class NoiseFlowWrapper:
         # init then overwrite from the checkpoint (ref restores .best,
         # NoiseFlowWrapper.py:43,77)
         self.params, self.state = self.flow.init(jax.random.PRNGKey(0))
-        ckpt = _best_checkpoint(os.path.join(path, "ckpt"))
-        if ckpt is None:
-            raise FileNotFoundError(f"no checkpoint under {path}/ckpt")
-        self.params, self.state, _, self.epoch = load_checkpoint(
-            ckpt, self.params, self.state, None)
+        ckpt_dir = os.path.join(path, "ckpt")
+        ckpt = _best_checkpoint(ckpt_dir)
+        if ckpt is not None:
+            self.params, self.state, _, self.epoch = load_checkpoint(
+                ckpt, self.params, self.state, None)
+        else:
+            # fall back to the reference's TF checkpoint format — the shipped
+            # model directory loads directly (ref:NoiseFlowWrapper.py:43,77)
+            from noise_flow_tpu.utils.tf_import import (
+                has_tf_checkpoint, import_reference_checkpoint)
+            if not has_tf_checkpoint(ckpt_dir):
+                raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+            self.params, self.state = import_reference_checkpoint(
+                os.path.join(ckpt_dir, "model.ckpt.best"),
+                self.flow, self.params, self.state)
+            self.epoch = 0
         self._rng = jax.random.PRNGKey(seed)
         self._jitted = {}
-        # fused Pallas fast path (inference-mode BN; see ops.pallas_sample)
+        # fused Pallas fast path. bn_batch_stats=True (the reference wrapper's
+        # is_training=True quirk, ref:NoiseFlowWrapper.py:86) builds the
+        # kernel in bn_mode='batch': BN moments computed in-block, exact
+        # parity with the XLA train-BN path when the batch fits one block.
         self._pallas_program = None
         if use_pallas:
             from noise_flow_tpu.ops.pallas_sample import build_sample_program
             self._pallas_program = build_sample_program(
-                self.flow, self.params, self.state)
+                self.flow, self.params, self.state,
+                bn_mode="batch" if bn_batch_stats else "running")
 
     # ------------------------------------------------------------------ api
     def sample_noise_nf(self, batch_clean: np.ndarray, b1: float, b2: float,
@@ -98,8 +113,15 @@ class NoiseFlowWrapper:
         self._rng, k = jax.random.split(self._rng)
         if self._pallas_program is not None:
             from noise_flow_tpu.ops.pallas_sample import pallas_sample
+            bt = 64
+            if self.bn_batch_stats:
+                # batch-stats BN: one block per batch where VMEM allows, so
+                # the in-kernel moments are the full batch's (exact quirk
+                # parity); larger batches fall back to ghost blocks
+                bt = b if b <= 256 else next(
+                    d for d in range(256, 0, -1) if b % d == 0)
             return np.asarray(pallas_sample(self._pallas_program, k, cond,
-                                            temp=t))
+                                            temp=t, bt=bt))
         fn = self._get_jitted(x.shape, t)
         return np.asarray(fn(self.params, self.state, k, cond))
 

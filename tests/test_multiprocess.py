@@ -1,0 +1,101 @@
+"""2-process jax.distributed test (localhost, gloo CPU collectives).
+
+Verifies the multi-HOST path end to end (SURVEY.md §2.6): per-host batch
+assembly via ``global_batch``, psum'd metrics agreeing across processes,
+cross-host Welford stats merging, baseline averaging — and grad/NLL
+equivalence with the single-process 8-device run of the same global batches.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def mp_results():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(port)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            pytest.fail(f"worker timed out; stderr tail: {err[-2000:]}")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert line, out
+        outs.append(json.loads(line[-1][len("RESULT"):]))
+    return outs
+
+
+def _single_process_reference():
+    """The same 2-epoch trajectory on the in-process 8-device mesh."""
+    from noise_flow_tpu.config import default_config
+    from noise_flow_tpu.models.flow import NoiseFlow
+    from noise_flow_tpu.parallel.mesh import make_mesh
+    from noise_flow_tpu.training.trainer import Trainer
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from _mp_worker import global_minibatch
+
+    cfg = default_config(arch="sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc",
+                         patch_height=32, lr=1e-4)
+    trainer = Trainer(NoiseFlow((32, 32, 4), cfg), cfg, mesh=make_mesh())
+    batches = [global_minibatch(16, s) for s in range(3)]
+    nlls = []
+    for _ in range(2):
+        nll, _ = trainer.train_epoch(iter(batches))
+        nlls.append(nll)
+    ev_nll, _ = trainer.eval_epoch(iter(batches[:1]))
+    return nlls, ev_nll
+
+
+def test_two_process_equals_single_process(mp_results):
+    r0, r1 = mp_results
+    # both processes must agree exactly (metrics are globally reduced)
+    np.testing.assert_allclose(r0["nlls"], r1["nlls"], rtol=1e-6)
+    np.testing.assert_allclose(r0["eval"], r1["eval"], rtol=1e-6)
+
+    ref_nlls, ref_eval = _single_process_reference()
+    # 2-process gloo vs 1-process: same global batches, same mesh size —
+    # identical up to cross-process reduction order
+    np.testing.assert_allclose(r0["nlls"], ref_nlls, rtol=5e-5, atol=0.05)
+    np.testing.assert_allclose(r0["eval"], ref_eval, rtol=5e-5, atol=0.05)
+
+
+def test_cross_host_stats_and_baselines(mp_results):
+    r0, r1 = mp_results
+    # Welford merge across host shards must agree on both processes and match
+    # the full-batch variance computed here
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from _mp_worker import global_minibatch
+
+    full = global_minibatch(32, seed=99)["_x"].astype(np.float64)
+    assert r0["sc_in_vr"] == pytest.approx(r1["sc_in_vr"], rel=1e-6)
+    assert r0["sc_in_vr"] == pytest.approx(float(full.var()), rel=1e-3)
+    # baselines: mean of per-host values (100, 101) and (200, 201)
+    np.testing.assert_allclose(r0["baselines"], [100.5, 200.5], atol=1e-4)
+    np.testing.assert_allclose(r1["baselines"], [100.5, 200.5], atol=1e-4)

@@ -101,3 +101,26 @@ def test_native_trains_a_flow(cache_dir):
     for e in range(4):
         nll, _ = trainer.train_epoch(loader.epoch())
     assert nll < nll0
+
+
+def test_cli_train_native_loader(tmp_path):
+    """cli.train --native_loader --cache_dir end to end (synthetic data for
+    stats, C++ loader streaming the training batches)."""
+    from noise_flow_tpu.cli.train import main
+    from noise_flow_tpu.data.cache import write_cache_from_samples
+    from noise_flow_tpu.data.synthetic import make_synthetic_samples
+
+    for split, seed in (("train", 0), ("test", 9)):
+        samples = make_synthetic_samples(n_images=2, h=64, w=64, iso=100,
+                                         seed=seed)
+        write_cache_from_samples(samples, str(tmp_path / "cache" / split))
+    logdir = tmp_path / "run"
+    rc = main(["--synthetic_data", "2", "--epochs", "2",
+               "--patch_height", "16", "--n_batch_train", "8",
+               "--n_batch_test", "8", "--lr", "1e-2",
+               "--native_loader", "--cache_dir", str(tmp_path / "cache"),
+               "--logdir", str(logdir)])
+    assert rc == 0
+    rows = open(logdir / "train.txt").read().strip().splitlines()
+    assert len(rows) == 3  # header + 2 epochs
+    assert "nan" not in rows[1].split("\t")[2]

@@ -121,3 +121,67 @@ def test_pallas_wrong_shape_raises():
     params, state = flow.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="x_shape"):
         build_sample_program(flow, params, state)
+
+
+def test_pallas_batch_bn_matches_xla_train_mode():
+    """bn_mode='batch' with one block per batch reproduces the reference
+    wrapper's is_training=True BN quirk exactly (ref:NoiseFlowWrapper.py:86):
+    parity vs flow.forward(train=True) on shared eps."""
+    flow, params, state = _randomized_flow()
+    b = 8
+    cond = _cond(b, seed=5)
+    eps = np.random.default_rng(7).standard_normal((b, 32, 32, 4)).astype(np.float32)
+    x_ref = flow.forward(params, state, jnp.asarray(eps), cond, train=True)
+    prog = build_sample_program(flow, params, state, bn_mode="batch")
+    x_pal = pallas_sample(prog, None, cond, temp=1.0, eps=eps, bt=b)
+    # tolerance: in-kernel moments use a channel-select matmul; f32
+    # reduction order differs from jnp.mean
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                               rtol=2e-3, atol=2e-4)
+    # and it must DIFFER from the running-stats mode (the quirk is real)
+    prog_run = build_sample_program(flow, params, state, bn_mode="running")
+    x_run = pallas_sample(prog_run, None, cond, temp=1.0, eps=eps, bt=b)
+    assert np.max(np.abs(np.asarray(x_run) - np.asarray(x_pal))) > 1e-6
+
+
+def test_pallas_batch_bn_v1_fold():
+    flow, params, state = _randomized_flow()
+    b = 8
+    cond = _cond(b, seed=6)
+    eps = np.random.default_rng(8).standard_normal((b, 32, 32, 4)).astype(np.float32)
+    x_ref = flow.forward(params, state, jnp.asarray(eps), cond, train=True)
+    prog = build_sample_program(flow, params, state, version=1,
+                                bn_mode="batch")
+    x_pal = pallas_sample(prog, None, cond, temp=1.0, eps=eps, bt=b)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_wrapper_pallas_bn_quirk_parity(tmp_path):
+    """NoiseFlowWrapper(use_pallas=True) with the default bn_batch_stats=True
+    now matches the XLA quirk path distributionally (same trained-state drift
+    bound the round-1 review asked for)."""
+    import os
+
+    from noise_flow_tpu.config import default_config, save_hps
+    from noise_flow_tpu.utils.checkpoint import save_checkpoint
+    from noise_flow_tpu.wrapper import NoiseFlowWrapper
+
+    flow, params, state = _randomized_flow()
+    d = tmp_path / "model"
+    os.makedirs(d / "ckpt", exist_ok=True)
+    save_hps(str(d / "hps.txt"), flow.cfg, flow.get_layer_names(),
+             flow.num_params(params))
+    save_checkpoint(str(d / "ckpt"), "best", params, state, None, 0)
+
+    nf_x = NoiseFlowWrapper(str(d), bn_batch_stats=True, use_pallas=False,
+                            seed=3)
+    nf_p = NoiseFlowWrapper(str(d), bn_batch_stats=True, use_pallas=True,
+                            seed=3)
+    clean = np.full((64, 32, 32, 4), 0.2, np.float32)
+    a = nf_x.sample_noise_nf(clean, 0.0, 0.0, 100.0, 2.0, temp=1.0)
+    p = nf_p.sample_noise_nf(clean, 0.0, 0.0, 100.0, 2.0, temp=1.0)
+    # different rng streams -> compare moments, tight because both use
+    # batch-stats BN now
+    assert abs(a.std() - p.std()) < 0.15 * max(a.std(), 1e-6)
+    assert abs(a.mean() - p.mean()) < 0.2 * a.std()

@@ -106,3 +106,35 @@ def test_sampling_epoch_kld(synth_data, tmp_path):
         sc_sd=stats["sc_in_sd"], fix_cam_iso=False)
     assert np.all(np.isfinite(kld))
     assert kld[3] == 0.0  # real vs real
+
+
+def test_sample_epoch_vis_artifacts(tmp_path):
+    """sample_epoch(vis_dir=...) writes the reference's per-patch .mat set
+    under samples_epoch_####/samples_T/<scene>/ (ref:train_noise_flow.py:
+    176-177 -> sidd_utils.py:995-1058)."""
+    import glob as _glob
+
+    from noise_flow_tpu.config import default_config
+    from noise_flow_tpu.models.flow import NoiseFlow
+    from noise_flow_tpu.training.trainer import Trainer
+
+    cfg = default_config(arch="unc|unc", patch_height=16, n_batch_train=8)
+    flow = NoiseFlow((16, 16, 4), cfg)
+    trainer = Trainer(flow, cfg)
+    b = 8
+    rng = np.random.default_rng(0)
+    mb = {"_x": rng.standard_normal((b, 16, 16, 4)).astype(np.float32) * 0.01,
+          "_y": rng.uniform(0.01, 0.9, (b, 16, 16, 4)).astype(np.float32),
+          "pid": np.arange(b),
+          "nlf0": np.full((b,), 5e-4, np.float32),
+          "nlf1": np.full((b,), 2e-6, np.float32),
+          "iso": np.full((b,), 100.0, np.float32),
+          "cam": np.full((b,), 2.0, np.float32)}
+    vis = tmp_path / "samples_epoch_0001" / "samples_0.6"
+    trainer.sample_epoch([mb], 0.6, jax.random.PRNGKey(0), sc_sd=0.01,
+                         vis_dir=str(vis))
+    mats = _glob.glob(str(vis / "*" / "*.mat"))
+    # reference set per patch: y, ng, nl, ns, n, xg, xl, xs, x + 3 kl scalars
+    assert len(mats) >= 12, mats
+    names = {m.split("/")[-1].split("_")[0] for m in mats}
+    assert {"y", "ng", "nl", "ns", "n", "xg", "xl", "xs", "x", "kl"} <= names
