@@ -144,3 +144,21 @@ def test_graphics_raster(tmp_path):
     save_raster(x, str(tmp_path / "r.png"))
     save_image(x[0], str(tmp_path / "i.png"))
     assert (tmp_path / "r.png").exists() and (tmp_path / "i.png").exists()
+
+
+def test_compare_figures(tmp_path):
+    """Paper-figure equivalents (analysis/compare.py) render from the TSV
+    schema of a real run dir (ref:plotting/plot.py, plot_2.py, broken_ax.py)."""
+    from noise_flow_tpu.analysis.compare import (
+        compare_nll, compare_nll_broken, model_summary_panel, read_run)
+
+    run = "experiments/sidd/smoke"
+    data = read_run(run)
+    assert "test" in data and "NLL" in data["test"]
+    p1 = compare_nll([run, run], ["a", "b"], str(tmp_path / "cmp.png"))
+    p2 = compare_nll_broken([run], None, str(tmp_path / "brk.png"),
+                            (0.0, 1500.0), (-3100.0, 0.0))
+    p3 = model_summary_panel(run, str(tmp_path / "panel.png"))
+    import os
+    for p in (p1, p2, p3):
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
