@@ -16,6 +16,16 @@ shift/log-scale outputs into single 128-lane tiles, cutting the chain to ~59
 MFLOP/patch (8 couplings x 6 matmuls + 8 invertible-1x1), so
 SoL = peak_matmul_flops / flops_per_patch. vs_baseline ~ 1.0 means the fused
 chain saturates the MXU.
+
+Where the remaining SoL gap lives (measured on TPU v5e by op-substitution and
+config sweeps, round 2): NOT in transcendentals, the in-kernel PRNG, or the
+select masks (each < 1%, measured by patching them out); the two lane-rolls
+per coupling cost ~6% total (cheaper than the 3 extra band matmuls that would
+remove them); bt in {64..512} and parallel grid semantics are flat (v5e has
+one TensorCore). The rest is MXU latency of the strictly dependent K=128
+matmul chain inside each block, against a SoL denominator that counts the
+band matrices' structural zeros (~2/3 of each 128x128) as useful FLOPs —
+i.e. the kernel is near the practical roof for this decomposition.
 """
 
 import json

@@ -159,6 +159,58 @@ class NoiseFlowWrapper:
         noise = noise.transpose(0, 2, 1, 3, 4).reshape(hh, ww, c)
         return noise[:h, :w]
 
+    def sample_noise_frame_spatial(self, clean_frame: np.ndarray, b1: float,
+                                   b2: float, iso: float, cam: float,
+                                   temp: Optional[float] = None,
+                                   mesh=None) -> np.ndarray:
+        """Sample noise for a FULL frame with the flow run AT frame size,
+        spatially sharded over the device mesh (SURVEY.md §2.6 optional row).
+
+        The flow is fully convolutional, so the published 32x32-trained
+        weights apply at any (H, W): the frame's height is sharded across
+        the 'data' mesh axis and XLA partitions the 3x3 coupling convs with
+        the required halo exchanges over ICI — no manual ppermute. Unlike
+        ``sample_noise_frame`` (independent 32x32 tiles), this produces
+        noise with no tile seams: the coupling receptive field crosses the
+        whole frame.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from noise_flow_tpu.parallel.mesh import make_mesh
+
+        x = np.asarray(clean_frame, np.float32)
+        if x.ndim == 3:
+            x = x[None]
+        mesh = mesh or make_mesh()
+        n_dev = mesh.size
+        h, w = x.shape[1], x.shape[2]
+        pad_h = (-h) % (8 * n_dev)  # sublane-amenable equal shards
+        pad_w = (-w) % 8
+        xp = np.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    mode="reflect")
+        frame_shape = xp.shape[1:]
+        flow = NoiseFlow(frame_shape, self.cfg)
+        sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+        b = 1
+        cond = {
+            "clean": jax.device_put(jnp.asarray(xp), sh),
+            "nlf0": jnp.full((b,), float(b1), jnp.float32),
+            "nlf1": jnp.full((b,), float(b2), jnp.float32),
+            "iso": jnp.full((b,), float(iso), jnp.float32),
+            "cam": jnp.full((b,), float(cam), jnp.float32),
+        }
+        t = self.temp if temp is None else float(temp)
+        self._rng, k = jax.random.split(self._rng)
+        train = self.bn_batch_stats
+
+        @jax.jit
+        def fn(params, state, rng, cond):
+            return flow.sample(params, state, rng, cond, temp=t, batch=b,
+                               train=train)
+
+        out = np.asarray(fn(self.params, self.state, k, cond))[0]
+        return out[:h, :w]
+
     # ------------------------------------------------------------ internals
     def _get_jitted(self, shape: Tuple[int, ...], temp: float):
         key = (shape, temp)

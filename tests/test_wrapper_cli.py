@@ -64,3 +64,27 @@ def test_sample_cli_synthetic(trained_dir, tmp_path):
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     mats = [f for f in os.listdir(out) if f.endswith(".mat")]
     assert len(pngs) == 6 and len(mats) == 6  # 3 scenes x 2 patches
+
+
+def test_wrapper_spatial_frame_sampling(trained_dir):
+    """Spatially sharded full-frame sampling (SURVEY §2.6 optional row): the
+    frame's H axis is sharded over the mesh; XLA partitions the 3x3 coupling
+    convs with halo exchanges. Values must match the unsharded run of the
+    same frame-sized flow (same key => same latent draw)."""
+    import jax
+
+    from noise_flow_tpu.parallel.mesh import make_mesh
+
+    nf8 = NoiseFlowWrapper(trained_dir, sampling_temperature=1.0, seed=7)
+    nf1 = NoiseFlowWrapper(trained_dir, sampling_temperature=1.0, seed=7)
+    frame = np.full((128, 48, 4), 0.3, np.float32)
+    frame[40:80] = 0.6
+    n8 = nf8.sample_noise_frame_spatial(frame, 0.0, 0.0, 100, 2,
+                                        mesh=make_mesh(8))
+    n1 = nf1.sample_noise_frame_spatial(frame, 0.0, 0.0, 100, 2,
+                                        mesh=make_mesh(1))
+    assert n8.shape == frame.shape
+    assert np.all(np.isfinite(n8))
+    np.testing.assert_allclose(n8, n1, rtol=1e-4, atol=1e-5)
+    # whole-frame receptive field: no 16px tile seams (smoke: std sane)
+    assert 0.0 < np.std(n8) < 1.0
