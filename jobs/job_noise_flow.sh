@@ -43,5 +43,30 @@ case "$cfg" in
       --patch_height 16 --n_batch_train 16 --lr 1e-2 --do_sample \
       --logdir experiments/sidd/smoke
     ;;
+  published-fused)  # published model through the fused Pallas train kernels,
+                    # npy cache + C++ loader feeding the chip
+    python train_noise_flow.py \
+      --arch "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc" --width 4 \
+      --lr 1e-4 --n_batch_train 138 --patch_height 32 --shuffle_patches \
+      --n_patches_per_image 2898 --epochs 2000 --do_sample --use_pallas \
+      --cache_dir experiments/sidd/cache --native_loader \
+      --sidd_path "$SIDD" --logdir experiments/sidd/published_fused
+    ;;
+  multihost)  # 2-host data-parallel example (run once per host with its id)
+    : "${COORD:=host0:8476}" "${NPROC:=2}" "${PID:=0}"
+    python train_noise_flow.py \
+      --arch "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc" --width 4 \
+      --lr 1e-4 --n_batch_train 276 --patch_height 32 \
+      --n_patches_per_image 2898 --epochs 2000 \
+      --coordinator_address "$COORD" --num_processes "$NPROC" \
+      --process_id "$PID" \
+      --sidd_path "$SIDD" --logdir experiments/sidd/multihost
+    ;;
+  kld-sweep)  # per-(cam,iso) marginal KLD vs temperature on a trained model
+    python -m noise_flow_tpu.cli.kld_sweep \
+      --model_dir experiments/sidd/published_fused \
+      --sidd_path "$SIDD" --temps 0.2,0.4,0.5,0.6,0.7,0.8,1.0 \
+      --logdir experiments/sidd/kld_sweep
+    ;;
   *) echo "unknown config: $cfg" >&2; exit 1;;
 esac
