@@ -29,9 +29,34 @@ i.e. the kernel is near the practical roof for this decomposition.
 """
 
 import json
+import os
+import signal
 import time
 
 import numpy as np
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _run_bounded(fn, seconds: float):
+    """Run fn() with a SIGALRM deadline (tunneled-TPU compiles are
+    high-variance; a slow compile must not starve the headline metric or
+    blow the driver's overall budget). Returns None on timeout."""
+
+    def handler(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(1, int(seconds)))
+    try:
+        return fn()
+    except _Timeout:
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _train_batch(b):
@@ -81,6 +106,7 @@ def bench_train(batch_size: int, use_pallas: bool, n_iter: int):
 
 
 def main():
+    t_main = time.perf_counter()
     from noise_flow_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -142,18 +168,31 @@ def main():
     vs_baseline = samples_per_sec / sol
 
     # --- training throughput (VERDICT r1 item 3) ------------------------
+    # Most-important case first: each case may cost a fresh Mosaic compile
+    # over the tunnel, so cases are individually SIGALRM-bounded and skipped
+    # once the global budget (NF_BENCH_BUDGET_S) is spent — the headline
+    # sampling metric above is already banked either way.
     n_tr = 30 if on_tpu else 2
     big = 2048 if on_tpu else 64
-    cases = [("train_xla_b138", 138, False),
+    cases = [("train_fused_big", big, True),
+             ("train_xla_b138", 138, False),
              ("train_fused_b138", 138, True),
-             ("train_xla_big", big, False),
-             ("train_fused_big", big, True)]
+             ("train_xla_big", big, False)]
     if not on_tpu:  # interpret-mode kernels are slow; keep CI cheap
         cases = [("train_xla_b138", 32, False), ("train_fused_b138", 32, True)]
+    deadline = t_main + float(os.environ.get("NF_BENCH_BUDGET_S", "2400"))
     tr = {}
     for name, bsz, fused in cases:
+        left = deadline - time.perf_counter()
+        if left < 60:
+            tr[name] = None
+            print(f"# {name} skipped: bench budget spent", flush=True)
+            continue
         try:
-            tr[name] = bench_train(bsz, fused, n_tr)
+            tr[name] = _run_bounded(
+                lambda: bench_train(bsz, fused, n_tr), left)
+            if tr[name] is None:
+                print(f"# {name} timed out", flush=True)
         except Exception as e:  # pragma: no cover - bench resilience
             tr[name] = None
             print(f"# {name} failed: {e!r}", flush=True)
