@@ -172,12 +172,19 @@ def main():
     # over the tunnel, so cases are individually SIGALRM-bounded and skipped
     # once the global budget (NF_BENCH_BUDGET_S) is spent — the headline
     # sampling metric above is already banked either way.
+    # Large-batch sizes are each path's measured best: fused step time fits
+    # t = a + c*batch with a ~ 2.0 ms fixed per-step overhead (tunnel
+    # dispatch + the XLA param->band fold + Adam on 2433 scalars) and
+    # c ~ 3.1 us/patch (r2: 2.44 ms @ 138, 8.39 ms @ 2048), so batch 8192
+    # amortizes the fixed part to ~7% (273k patches/s vs 244k @ 2048). The
+    # XLA path is HBM-bound and peaks near 2048 (135k; 111k @ 8192).
     n_tr = 30 if on_tpu else 2
-    big = 2048 if on_tpu else 64
-    cases = [("train_fused_big", big, True),
+    big_fused = 8192 if on_tpu else 64
+    big_xla = 2048 if on_tpu else 64
+    cases = [("train_fused_big", big_fused, True),
              ("train_xla_b138", 138, False),
              ("train_fused_b138", 138, True),
-             ("train_xla_big", big, False)]
+             ("train_xla_big", big_xla, False)]
     if not on_tpu:  # interpret-mode kernels are slow; keep CI cheap
         cases = [("train_xla_b138", 32, False), ("train_fused_b138", 32, True)]
     deadline = t_main + float(os.environ.get("NF_BENCH_BUDGET_S", "2400"))
