@@ -114,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref:sidd/MiniBatchSampler.py:60-64)")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas kernels on the sampling hot path")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps fused into one device dispatch "
+                        "(lax.scan over stacked minibatches)")
     return p
 
 

@@ -91,6 +91,9 @@ class Config:
     # NLL trajectory indistinguishable from f32 (see bench.py); set
     # "float32" for bit-level parity studies.
     pallas_train_dtype: str = "bfloat16"
+    # train steps fused into one device dispatch via lax.scan (Trainer
+    # stacks this many same-shape minibatches per call). 1 = step-per-call.
+    steps_per_call: int = 1
 
     # --- compat with reference quirks ---
     # per-batch scalar conditioning (ref:sidd/MiniBatchSampler.py:60-64) vs

@@ -64,6 +64,14 @@ SUPPORTED_KINDS = frozenset(
 # lane permutation of a channel reverse (tfb.Permute) in packed coords
 _PERM_REV_IDX = np.arange(L).reshape(W, C)[:, ::-1].reshape(L)
 _EYE_W = {k: jnp.asarray(np.eye(W, k=k), jnp.float32) for k in (-1, 0, 1)}
+# W-tap selector for band_from_conv: S[dw, wi, wo] = 1 iff input col wi feeds
+# output col wo under kernel tap dw (SAME padding), i.e. wi = wo + dw - 1.
+_TAP_SEL = {
+    kw: jnp.asarray(
+        np.stack([np.eye(W, k=(kw - 1) // 2 - dw) for dw in range(kw)]),
+        jnp.float32)
+    for kw in (1, 3)
+}
 
 
 def pack(x: np.ndarray):
@@ -87,14 +95,12 @@ def band_from_conv(w) -> jnp.ndarray:
     """
     kh, kw, cin, cout = w.shape
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, C - cin), (0, C - cout)))
-    bands = []
-    for dh in range(kh):
-        m = jnp.zeros((L, L), w.dtype)
-        for dw in range(kw):
-            off = dw - (kw - 1) // 2  # input col wi = wo + off
-            m = m + jnp.kron(_EYE_W[-off], wp[dh, dw])
-        bands.append(m)
-    return jnp.stack(bands)
+    # one einsum against a constant tap selector (vs a kron per (dh, dw)):
+    # out[dh, wi*C+ci, wo*C+co] = sum_dw S[dw, wi, wo] * w[dh, dw, ci, co].
+    # Linear in w, so gradients flow; collapses the fold to O(1) XLA ops per
+    # conv, which matters because it runs inside every fused train step.
+    bands = jnp.einsum("kab,hkio->haibo", _TAP_SEL[kw], wp)
+    return bands.reshape(kh, L, L)
 
 
 def _bn_packed(h, st: Dict, train: bool, width: int):

@@ -39,6 +39,13 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_batch_stacked(mesh: Mesh, batch, axis: str = "data"):
+    """Place a [K, B, ...] stack of K batches: dim 0 is the scan (step) axis,
+    dim 1 (the per-step batch) is sharded over the mesh."""
+    sh = NamedSharding(mesh, P(None, axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

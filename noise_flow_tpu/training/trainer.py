@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from noise_flow_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from noise_flow_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_batch_stacked,
+)
 from noise_flow_tpu.utils.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
@@ -35,12 +40,19 @@ from noise_flow_tpu.utils.metrics import calc_kldiv_mb, kl_div_3_data
 
 def make_optimizer(cfg):
     """Adam beta1=.9 beta2=.999 eps=1e-8, or SGD momentum .9
-    (ref:train_noise_flow.py:187-198)."""
+    (ref:train_noise_flow.py:187-198).
+
+    The update is wrapped in optax.flatten: the flow is ~143 tiny leaves
+    (2433 scalars total), and per-leaf optimizer math costs ~300 extra
+    kernel launches per step; flattening runs the identical elementwise
+    update on one fused vector."""
     if cfg.optim == "adam":
-        return optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
-    if cfg.optim == "sgd":
-        return optax.sgd(cfg.lr, momentum=0.9)
-    raise ValueError(f"unknown optimizer {cfg.optim!r}")
+        opt = optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
+    elif cfg.optim == "sgd":
+        opt = optax.sgd(cfg.lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optim!r}")
+    return optax.flatten(opt)
 
 
 def batch_to_cond(mb: Dict) -> Dict:
@@ -192,7 +204,23 @@ class Trainer:
                             batch=batch["_y"].shape[0], train=False)
             return x
 
+        def train_scan(params, state, opt_state, stacked):
+            """K train steps in one jitted call via lax.scan over the leading
+            (step) axis of `stacked` — amortizes per-step dispatch and the
+            host loop (the natural TPU shape of the reference's epoch loop,
+            ref:train_noise_flow.py:54-77)."""
+
+            def body(carry, batch):
+                p, s, o = carry
+                new = train_step(*carry, batch)
+                return new[:3], (new[3], new[4])
+
+            (p, s, o), (nlls, sdzs) = jax.lax.scan(
+                body, (params, state, opt_state), stacked)
+            return p, s, o, nlls, sdzs
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._train_scan = jax.jit(train_scan, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
         self._sample_step = jax.jit(sample_step, static_argnums=(4,))
 
@@ -225,7 +253,12 @@ class Trainer:
             yield cur
         yield nxt
 
-    def train_epoch(self, batches: Iterable[Dict]):
+    def train_epoch(self, batches: Iterable[Dict],
+                    steps_per_call: Optional[int] = None):
+        k = (steps_per_call if steps_per_call is not None
+             else getattr(self.cfg, "steps_per_call", 1))
+        if k > 1 and self.trainable and jax.process_count() == 1:
+            return self._train_epoch_scan(batches, k)
         losses, sdzs = [], []
         for b in self._prefetched(batches):
             if self.trainable:
@@ -236,6 +269,49 @@ class Trainer:
             losses.append(nll)
             sdzs.append(sd_z)
         return float(jnp.mean(jnp.stack(losses))), float(jnp.mean(jnp.stack(sdzs)))
+
+    def _train_epoch_scan(self, batches: Iterable[Dict], k: int):
+        """Epoch loop batching k steps per device dispatch (lax.scan).
+
+        Host batches are grouped into [k, B, ...] stacks (full groups only —
+        a ragged tail or a batch-size change falls back to single steps, so
+        no extra scan programs compile)."""
+        keep = ("_x", "_y", "nlf0", "nlf1", "iso", "cam")
+        losses, sdzs = [], []
+
+        def flush(buf):
+            if len(buf) == k:
+                stacked = {key: np.stack([np.asarray(b[key]) for b in buf])
+                           for key in keep}
+                db = shard_batch_stacked(self.mesh, stacked)
+                (self.params, self.state, self.opt_state, nlls,
+                 sds) = self._train_scan(self.params, self.state,
+                                         self.opt_state, db)
+                losses.append(nlls)
+                sdzs.append(sds)
+            else:
+                for b in buf:
+                    db = self._put({key: b[key] for key in keep})
+                    (self.params, self.state, self.opt_state, nll,
+                     sd_z) = self._train_step(self.params, self.state,
+                                              self.opt_state, db)
+                    losses.append(jnp.reshape(nll, (1,)))
+                    sdzs.append(jnp.reshape(sd_z, (1,)))
+
+        buf = []
+        for mb in batches:
+            if buf and mb["_x"].shape != buf[0]["_x"].shape:
+                flush(buf)
+                buf = []
+            buf.append(mb)
+            if len(buf) == k:
+                flush(buf)
+                buf = []
+        if buf:
+            flush(buf)
+        all_nll = jnp.concatenate(losses)
+        all_sdz = jnp.concatenate(sdzs)
+        return float(jnp.mean(all_nll)), float(jnp.mean(all_sdz))
 
     def eval_epoch(self, batches: Iterable[Dict]):
         losses, sdzs = [], []
@@ -329,8 +405,10 @@ class Trainer:
         if cfg.continue_training:
             last = latest_checkpoint(ckpt_dir)
             if last:
-                self.params, self.state, self.opt_state, ep = load_checkpoint(
+                self.params, self.state, opt, ep = load_checkpoint(
                     last, self.params, self.state, self.opt_state)
+                if opt is not None:
+                    self.opt_state = opt
                 start_epoch = ep + 1
 
         best_nll = np.inf

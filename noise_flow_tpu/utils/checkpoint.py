@@ -70,7 +70,15 @@ def load_checkpoint(path: str, params_template, state_template,
     state = _unflatten_like(state_template, groups["state"])
     opt_state = None
     if opt_template is not None and groups["opt"]:
-        opt_state = _unflatten_like(opt_template, groups["opt"])
+        try:
+            opt_state = _unflatten_like(opt_template, groups["opt"])
+        except (KeyError, ValueError):
+            # optimizer layout changed (e.g. a checkpoint from before the
+            # optax.flatten wrapper): resume params/state, restart slots
+            import logging
+            logging.getLogger(__name__).warning(
+                "checkpoint %s: optimizer state layout does not match the "
+                "current optimizer; resuming without it", path)
     return params, state, opt_state, epoch
 
 

@@ -138,3 +138,54 @@ def test_sample_epoch_vis_artifacts(tmp_path):
     assert len(mats) >= 12, mats
     names = {m.split("/")[-1].split("_")[0] for m in mats}
     assert {"y", "ng", "nl", "ns", "n", "xg", "xl", "xs", "x", "kl"} <= names
+
+
+def test_train_epoch_scan_equivalence(synth_data):
+    """K steps per dispatch (lax.scan) must follow the same trajectory as the
+    step-per-call loop: same params, same per-epoch metrics."""
+    tr, ts, ph = synth_data
+    # SGD: Adam's eps-scaled update direction amplifies the f32 rounding
+    # noise of differently-fused programs on the BN-fed conv biases (whose
+    # true gradient is exactly zero) to O(lr); SGD keeps the comparison at
+    # rounding scale.
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph,
+                         lr=1e-3, n_batch_train=16, optim="sgd")
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    mesh = make_mesh(8)
+    t1 = Trainer(flow, cfg, mesh)
+    t2 = Trainer(flow, cfg, mesh)
+
+    for _ in range(2):
+        n1 = t1.train_epoch(tr.batches(16, shuffle=True, seed=3,
+                                       drop_remainder=True))
+        n2 = t2.train_epoch(tr.batches(16, shuffle=True, seed=3,
+                                       drop_remainder=True),
+                            steps_per_call=4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        t1.params, t2.params)
+    np.testing.assert_allclose(n1[0], n2[0], rtol=1e-6)
+    np.testing.assert_allclose(n1[1], n2[1], rtol=1e-6)
+    # BN state followed the same trajectory too
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        t1.state, t2.state)
+
+
+def test_train_epoch_scan_ragged_tail(synth_data):
+    """A batch count not divisible by steps_per_call falls back to single
+    steps for the tail and still matches the sequential trajectory."""
+    tr, ts, ph = synth_data
+    cfg = default_config(arch="unc|unc", patch_height=ph, lr=1e-3,
+                         n_batch_train=16, optim="sgd")
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    mesh = make_mesh(8)
+    t1 = Trainer(flow, cfg, mesh)
+    t2 = Trainer(flow, cfg, mesh)
+    batches = list(tr.batches(16, drop_remainder=True))[:7]  # 7 % 3 != 0
+    n1 = t1.train_epoch(iter(batches))
+    n2 = t2.train_epoch(iter(batches), steps_per_call=3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        t1.params, t2.params)
+    np.testing.assert_allclose(n1[0], n2[0], rtol=1e-6)
