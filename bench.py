@@ -71,38 +71,57 @@ def _train_batch(b):
             "cam": np.full((b,), 2.0, np.float32)}
 
 
-def bench_train(batch_size: int, use_pallas: bool, n_iter: int):
-    """Train-step patches/s for the published arch (one device)."""
+def bench_train(batch_size: int, use_pallas: bool, n_iter: int,
+                steps_per_call: int = 1):
+    """Train-step patches/s for the published arch (one device).
+
+    steps_per_call > 1 measures the lax.scan multi-step dispatch
+    (Trainer.train_epoch(steps_per_call=K)) on a device-resident batch
+    stack — the steady-state shape of a real epoch loop."""
     import jax
 
     from noise_flow_tpu.config import default_config
     from noise_flow_tpu.models.flow import NoiseFlow
-    from noise_flow_tpu.parallel.mesh import make_mesh
+    from noise_flow_tpu.parallel.mesh import make_mesh, shard_batch_stacked
     from noise_flow_tpu.training.trainer import Trainer
 
     cfg = default_config(patch_height=32, use_pallas=use_pallas)
     trainer = Trainer(NoiseFlow((32, 32, 4), cfg), cfg, mesh=make_mesh(1))
     if use_pallas and not trainer.use_fused:
         return None
-    b = trainer._put(_train_batch(batch_size))
-    step = trainer._train_step
+    mb = _train_batch(batch_size)
+    if steps_per_call > 1:
+        k = steps_per_call
+        stacked = {key: np.broadcast_to(v, (k,) + v.shape)
+                   for key, v in mb.items()}
+        ds = shard_batch_stacked(trainer.mesh, stacked)
 
-    def once():
-        out = step(trainer.params, trainer.state, trainer.opt_state, b)
-        (trainer.params, trainer.state, trainer.opt_state) = out[:3]
-        return out[3]
+        def once():
+            out = trainer._train_scan(trainer.params, trainer.state,
+                                      trainer.opt_state, ds)
+            (trainer.params, trainer.state, trainer.opt_state) = out[:3]
+            return out[3]
+    else:
+        b = trainer._put(mb)
+
+        def once():
+            out = trainer._train_step(trainer.params, trainer.state,
+                                      trainer.opt_state, b)
+            (trainer.params, trainer.state, trainer.opt_state) = out[:3]
+            return out[3]
 
     once().block_until_ready()  # compile
     for _ in range(3):
         nll = once()
     nll.block_until_ready()
+    calls = max(1, n_iter // steps_per_call)
     t0 = time.perf_counter()
-    for _ in range(n_iter):
+    for _ in range(calls):
         nll = once()
     nll.block_until_ready()
     dt = time.perf_counter() - t0
-    assert np.isfinite(float(nll))
-    return batch_size * n_iter / dt
+    assert np.all(np.isfinite(np.asarray(nll)))
+    return batch_size * calls * steps_per_call / dt
 
 
 def main():
@@ -172,24 +191,32 @@ def main():
     # over the tunnel, so cases are individually SIGALRM-bounded and skipped
     # once the global budget (NF_BENCH_BUDGET_S) is spent — the headline
     # sampling metric above is already banked either way.
-    # Large-batch sizes are each path's measured best: fused step time fits
-    # t = a + c*batch with a ~ 2.0 ms fixed per-step overhead (tunnel
-    # dispatch + the XLA param->band fold + Adam on 2433 scalars) and
-    # c ~ 3.1 us/patch (r2: 2.44 ms @ 138, 8.39 ms @ 2048), so batch 8192
-    # amortizes the fixed part to ~7% (273k patches/s vs 244k @ 2048). The
-    # XLA path is HBM-bound and peaks near 2048 (135k; 111k @ 8192).
+    # Round-2 fit: fused step time t = a + c*batch with a ~ 2.0 ms fixed
+    # per-step overhead and c ~ 3.1 us/patch. Round 3 attacked `a` three
+    # ways (experiments/train_overhead.py): the param->band fold is one
+    # einsum per conv (was a kron per tap), Adam runs optax.flatten'd on one
+    # fused vector (was 143 leaves ~ 300 kernel launches), and the b138
+    # cases dispatch 16 steps per call via lax.scan (per-call cost on this
+    # setup scales with argument-handle count). Measured fused b138:
+    # 51k (r2) -> 62k (fold+flatten) -> 84k patches/s (scan16). The XLA
+    # path is HBM-bound and peaks near batch 2048.
     n_tr = 30 if on_tpu else 2
     big_fused = 8192 if on_tpu else 64
     big_xla = 2048 if on_tpu else 64
-    cases = [("train_fused_big", big_fused, True),
-             ("train_xla_b138", 138, False),
-             ("train_fused_b138", 138, True),
-             ("train_xla_big", big_xla, False)]
+    # b138 cases run 16 steps per dispatch (lax.scan) — round 3: per-call
+    # overhead on this setup scales with argument-handle count, so the
+    # multi-step dispatch is the steady-state epoch-loop shape (84k vs 51k
+    # patches/s measured at b138 fused).
+    cases = [("train_fused_big", big_fused, True, 4),
+             ("train_fused_b138", 138, True, 16),
+             ("train_xla_b138", 138, False, 16),
+             ("train_xla_big", big_xla, False, 1)]
     if not on_tpu:  # interpret-mode kernels are slow; keep CI cheap
-        cases = [("train_xla_b138", 32, False), ("train_fused_b138", 32, True)]
+        cases = [("train_xla_b138", 32, False, 2),
+                 ("train_fused_b138", 32, True, 1)]
     deadline = t_main + float(os.environ.get("NF_BENCH_BUDGET_S", "2400"))
     tr = {}
-    for name, bsz, fused in cases:
+    for name, bsz, fused, spc in cases:
         left = deadline - time.perf_counter()
         if left < 60:
             tr[name] = None
@@ -197,7 +224,8 @@ def main():
             continue
         try:
             tr[name] = _run_bounded(
-                lambda: bench_train(bsz, fused, n_tr), left)
+                lambda: bench_train(bsz, fused, n_tr, steps_per_call=spc),
+                left)
             if tr[name] is None:
                 print(f"# {name} timed out", flush=True)
         except Exception as e:  # pragma: no cover - bench resilience

@@ -49,6 +49,7 @@ case "$cfg" in
       --arch "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc" --width 4 \
       --lr 1e-4 --n_batch_train 138 --patch_height 32 --shuffle_patches \
       --n_patches_per_image 2898 --epochs 2000 --do_sample --use_pallas \
+      --steps_per_call 16 \
       --cache_dir experiments/sidd/cache --native_loader \
       --sidd_path "$SIDD" --logdir experiments/sidd/published_fused
     ;;
