@@ -111,15 +111,17 @@ def bench_train(batch_size: int, use_pallas: bool, n_iter: int,
             return out[3]
 
     once().block_until_ready()  # compile
-    for _ in range(3):
+    warm = 3 if steps_per_call == 1 else 6
+    for _ in range(warm):
         nll = once()
     nll.block_until_ready()
-    calls = max(1, n_iter // steps_per_call)
-    # best of 2 windows: the tunnel absorbs a deferred executable-warmup
+    calls = max(4, n_iter // steps_per_call)
+    # best of 3 windows: the tunnel absorbs a deferred executable-warmup
     # cost AFTER the first calls return (measured: a window right after
-    # compile can run 100x slow, the next at steady state)
+    # compile can run 100x slow, the next at steady state), and the shared
+    # chip shows minute-scale load variance
     best = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(calls):
             nll = once()
@@ -173,11 +175,12 @@ def main():
         out = sampler(2 + i)
     out.block_until_ready()
 
-    # best of 3 windows: the tunneled chip shows ~5% run-to-run variance
-    # (host scheduler + tunnel jitter); the max window is the steady state
-    n_iter = 25 if on_tpu else 5
+    # best of 5 windows: the tunneled chip is multi-tenant and shows
+    # minute-scale load variance (2.18M vs 1.93M patches/s measured for the
+    # same binary hours apart); the max window is the uncontended rate
+    n_iter = 20 if on_tpu else 5
     samples_per_sec = 0.0
-    for w in range(3 if on_tpu else 1):
+    for w in range(5 if on_tpu else 1):
         t0 = time.perf_counter()
         for i in range(n_iter):
             out = sampler(100 + 1000 * w + i)
