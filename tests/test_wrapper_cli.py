@@ -88,3 +88,23 @@ def test_wrapper_spatial_frame_sampling(trained_dir):
     np.testing.assert_allclose(n8, n1, rtol=1e-4, atol=1e-5)
     # whole-frame receptive field: no 16px tile seams (smoke: std sane)
     assert 0.0 < np.std(n8) < 1.0
+
+
+def test_kld_sweep_cli(trained_dir, tmp_path):
+    """KLD-vs-temperature sweep CLI end-to-end: per-(cam, iso) TSV rows with
+    finite KLDs for every requested temperature (BASELINE config 4)."""
+    from noise_flow_tpu.cli.kld_sweep import main as kld_main
+
+    logdir = str(tmp_path / "kld")
+    rc = kld_main(["--model_dir", trained_dir, "--synthetic_data", "2",
+                   "--iso", "100", "--temps", "0.5,1.0",
+                   "--n_batch", "16", "--n_patches_per_image", "16",
+                   "--max_batches_per_group", "1", "--logdir", logdir])
+    assert rc == 0
+    rows = open(os.path.join(logdir, "kld_vs_temp.txt")).read().splitlines()
+    assert rows[0].split("\t") == ["cam", "iso", "temp", "KLD_G", "KLD_NLF",
+                                   "KLD_NF", "KLD_R"]
+    body = np.asarray([[float(v) for v in r.split("\t")] for r in rows[1:]])
+    assert body.shape[0] == 2  # one (cam, iso) group x two temps
+    assert np.all(np.isfinite(body))
+    assert set(body[:, 2]) == {0.5, 1.0}
