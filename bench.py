@@ -213,6 +213,14 @@ def main():
     # setup scales with argument-handle count). Measured fused b138:
     # 51k (r2) -> 62k (fold+flatten) -> 84k patches/s (scan16). The XLA
     # path is HBM-bound and peaks near batch 2048.
+    # Round 3 then attacked `c`: the attribution probe
+    # (experiments/train_attrib.py) showed the custom_vjp segment path runs
+    # the forward twice (primal kernel + the backward kernel's in-VMEM
+    # recompute) and pays the ghost-BN moment reductions twice. Since the
+    # mean-NLL cotangents are analytic (dnll/dz = z/B, dnll/dldj = -1/B),
+    # the one-shot kernel (pallas_train.FusedTrainStep, cfg.pallas_oneshot,
+    # default on) computes loss AND all grads in one pass: fused big-batch
+    # 273k -> 346k patches/s, MFU 0.33 -> 0.41.
     n_tr = 30 if on_tpu else 2
     big_fused = 8192 if on_tpu else 64
     big_xla = 2048 if on_tpu else 64

@@ -39,7 +39,7 @@ from noise_flow_tpu.models.flow import NoiseFlow  # noqa: E402
 from noise_flow_tpu.ops import pallas_train as pt  # noqa: E402
 from noise_flow_tpu.ops.pallas_train import (  # noqa: E402
     H, L, _chan_sel, _conv3, _conv3_t, _conv3_wgrad, _mk_mm, _fold_segment,
-    _seg_fwd_call, _seg_bwd_call, _vmem_specs)
+    _seg_fwd_call, _seg_bwd_call, _shift_h, _vmem_specs)
 from noise_flow_tpu.ops.nn import BN_EPS  # noqa: E402
 
 C = 4
@@ -47,8 +47,14 @@ BT = 64
 
 
 def _bwd_kernel_variant(ops, bt, mm_dtype, *, wgrad=True, bn_stats=True,
-                        elem=True):
-    """_bwd_kernel_factory with ablation switches."""
+                        elem=True, stat_mxu=False, wgrad3=False):
+    """_bwd_kernel_factory with ablation switches.
+
+    stat_mxu: channel-moment reductions ride the MXU (ones8 @ v2 @ csel)
+    instead of a VPU cross-sublane row-sum feeding a tiny matmul.
+    wgrad3: the three conv-tap weight grads run as ONE [3L, R] @ [R, L]
+    matmul over the stacked shifted inputs.
+    """
     mm = _mk_mm(mm_dtype)
     n_el = bt * H * (L // C)
 
@@ -59,11 +65,27 @@ def _bwd_kernel_variant(ops, bt, mm_dtype, *, wgrad=True, bn_stats=True,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
         keep = (lane % C) < (C // 2)
         csel = _chan_sel()
+        ones8 = jnp.ones((8, bt * H), jnp.float32)
 
         def cmean(v2):
             if not bn_stats:
                 return jnp.zeros((1, L), jnp.float32)
+            if stat_mxu:
+                s8 = jnp.dot(ones8, v2, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                return mm(s8[0:1], csel) * (1.0 / n_el)
             return mm(jnp.sum(v2, axis=0, keepdims=True), csel) * (1.0 / n_el)
+
+        def wgrad_taps(x3, gt2):
+            """[3, L, L] conv-tap weight grads for input x3 [bt, H, L]."""
+            if not wgrad3:
+                return _conv3_wgrad(mm, x3, gt2, bt)
+            stacked = jnp.concatenate(
+                [_shift_h(x3, -1).reshape(bt * H, L),
+                 x3.reshape(bt * H, L),
+                 _shift_h(x3, 1).reshape(bt * H, L)], axis=1)   # [R, 3L]
+            w = mm(stacked.T, gt2)                              # [3L, L]
+            return [w[:L], w[L:2 * L], w[2 * L:]]
 
         x = x_ref[:]
         res = []
@@ -140,7 +162,7 @@ def _bwd_kernel_variant(ops, bt, mm_dtype, *, wgrad=True, bn_stats=True,
                     grs_rows.insert(0, jnp.zeros((1, L), jnp.float32))
                 gt2 = gt.reshape(bt * H, L)
                 if wgrad:
-                    w3 = _conv3_wgrad(mm, r2.reshape(bt, H, L), gt2, bt)
+                    w3 = wgrad_taps(r2.reshape(bt, H, L), gt2)
                     acc(gm3s_ref, idx, jnp.stack(w3))
                 gr2 = _conv3_t(mm, gt2, m3s_ref[idx], bt)
                 gn2 = gr2 * (n2 > 0) if elem else gr2
@@ -151,7 +173,7 @@ def _bwd_kernel_variant(ops, bt, mm_dtype, *, wgrad=True, bn_stats=True,
                 gn1 = gr1 * (n1 > 0) if elem else gr1
                 gh1 = bn_bwd(gn1, n1, is1)
                 if wgrad:
-                    w1 = _conv3_wgrad(mm, x_in, gh1, bt)
+                    w1 = wgrad_taps(x_in, gh1)
                     acc(gm1s_ref, idx, jnp.stack(w1))
                 gx_nn = _conv3_t(mm, gh1, m1s_ref[idx], bt).reshape(bt, H, L)
                 g = (jnp.where(keep, g, g * els) + gx_nn) if elem else \
@@ -164,6 +186,113 @@ def _bwd_kernel_variant(ops, bt, mm_dtype, *, wgrad=True, bn_stats=True,
             grs_ref[:] = jnp.zeros_like(grs_ref)
 
     return kernel
+
+
+def _fwd_kernel_variant(ops, bt, mm_dtype, *, bn_stats=True, elem=True,
+                        ldj_on=True, stats_in=False):
+    """_fwd_kernel_factory (ghost BN) with ablation switches.
+
+    stats_in: take per-block BN moments from a precomputed input ref
+    instead of computing them (models a stats-forwarding design)."""
+    mm = _mk_mm(mm_dtype)
+    n_el = bt * H * (L // C)
+
+    def kernel(x_ref, rs_ref, mixes_ref, m1s_ref, b1s_ref, m2s_ref, b2s_ref,
+               m3s_ref, offs_ref, bnrun_ref, z_ref, ldj_ref, bnacc_ref):
+        from jax.experimental import pallas as pl
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+        keep = (lane % C) < (C // 2)
+        csel = _chan_sel()
+        x = x_ref[:]
+        ldj = jnp.zeros((bt, L), jnp.float32)
+        bn_rows = []
+
+        def bn(h2, run_row):
+            if stats_in:
+                m = run_row[0].reshape(1, L)
+                v = run_row[1].reshape(1, L)
+                d = h2 - m
+                return d * jax.lax.rsqrt(v + BN_EPS), m, v
+            if bn_stats:
+                s = jnp.sum(h2, axis=0, keepdims=True)
+                m = mm(s, csel) * (1.0 / n_el)
+                d = h2 - m
+                v = mm(jnp.sum(d * d, axis=0, keepdims=True), csel) * (1.0 / n_el)
+            else:
+                m = jnp.zeros((1, L), jnp.float32)
+                v = jnp.ones((1, L), jnp.float32)
+                d = h2 - m
+            return d * jax.lax.rsqrt(v + BN_EPS), m, v
+
+        for kind, idx in ops:
+            if kind == "mix":
+                x = mm(x.reshape(bt * H, L), mixes_ref[idx]).reshape(bt, H, L)
+            else:
+                h = _conv3(mm, x, m1s_ref[idx], bt) + b1s_ref[idx].reshape(1, L)
+                h, m1v, v1v = bn(h, bnrun_ref[idx, 0:2])
+                h = jax.nn.relu(h)
+                h = mm(h, m2s_ref[idx]) + b2s_ref[idx].reshape(1, L)
+                h, m2v, v2v = bn(h, bnrun_ref[idx, 2:4])
+                h = jax.nn.relu(h)
+                t = _conv3(mm, h.reshape(bt, H, L), m3s_ref[idx], bt)
+                t = t.reshape(bt, H, L) + offs_ref[idx].reshape(1, H, L)
+                if elem:
+                    ls = rs_ref[idx, 0] * jnp.tanh(t)
+                    sh = jnp.roll(t, 2, axis=-1)
+                    x = jnp.where(keep, x, x * jnp.exp(ls) + sh)
+                    if ldj_on:
+                        ldj += jnp.sum(jnp.where(keep, 0.0, ls), axis=1)
+                else:
+                    x = t
+                if bn_stats and not stats_in:
+                    bn_rows.append(jnp.concatenate([m1v, v1v, m2v, v2v], 0))
+
+        z_ref[:] = x
+        ldj_ref[:] = ldj.reshape(bt, 1, L)
+        if bn_rows:
+            stats = jnp.stack(bn_rows)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                bnacc_ref[:] = stats
+
+            @pl.when(pl.program_id(0) != 0)
+            def _acc():
+                bnacc_ref[:] += stats
+        else:
+            bnacc_ref[:] = jnp.zeros_like(bnacc_ref)
+
+    return kernel
+
+
+def fwd_call_variant(ops, bt, mm_dtype, x, rescales, mixes, m1s, b1s, m2s,
+                     b2s, m3s, offs, bnrun, **flags):
+    b = x.shape[0]
+    nc = m1s.shape[0]
+    kernel = _fwd_kernel_variant(ops, bt, mm_dtype, **flags)
+    batch3 = pl.BlockSpec((bt, H, L), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    consts = _vmem_specs([mixes.shape, m1s.shape, b1s.shape, m2s.shape,
+                          b2s.shape, m3s.shape, offs.shape, bnrun.shape],
+                         pl, pltpu)
+    rs_spec = pl.BlockSpec(rescales.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[batch3, rs_spec] + consts,
+        out_specs=[batch3,
+                   pl.BlockSpec((bt, 1, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   _vmem_specs([(nc, 4, L)], pl, pltpu)[0]],
+        out_shape=[jax.ShapeDtypeStruct((b, H, L), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nc, 4, L), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs, bnrun)
 
 
 def bwd_call_variant(ops, bt, mm_dtype, x, rescales, mixes, m1s, b1s, m2s,
@@ -245,14 +374,30 @@ def main():
     bwd_full = jax.jit(lambda *a: _seg_bwd_call(
         seg.ops, BT, jnp.bfloat16, False, *a, gz, gldj))
     t_bwd = timeit(lambda: bwd_full(*args))
+    times = {"fwd": t_fwd, "bwd": t_bwd}
+
+    fwd_variants = {
+        "fwd_nostats": dict(bn_stats=False),
+        "fwd_noelem": dict(elem=False),
+        "fwd_noldj": dict(ldj_on=False),
+        "fwd_statsin": dict(stats_in=True),
+        "fwd_skeleton": dict(bn_stats=False, elem=False),
+    }
+    for name, flags in fwd_variants.items():
+        f = jax.jit(functools.partial(
+            fwd_call_variant, seg.ops, BT, jnp.bfloat16, **flags))
+        times[name] = timeit(
+            lambda f=f: f(*args, mats["bnrun"]))
 
     variants = {
         "bwd_nowgrad": dict(wgrad=False),
         "bwd_nobnbwd": dict(bn_stats=False),
         "bwd_noelem": dict(elem=False),
         "bwd_skeleton": dict(wgrad=False, bn_stats=False, elem=False),
+        "bwd_statmxu": dict(stat_mxu=True),
+        "bwd_wgrad3": dict(wgrad3=True),
+        "bwd_sm_w3": dict(stat_mxu=True, wgrad3=True),
     }
-    times = {"fwd": t_fwd, "bwd": t_bwd}
     for name, flags in variants.items():
         f = jax.jit(functools.partial(
             bwd_call_variant, seg.ops, BT, jnp.bfloat16, **flags))

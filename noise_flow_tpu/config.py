@@ -91,6 +91,11 @@ class Config:
     # NLL trajectory indistinguishable from f32 (see bench.py); set
     # "float32" for bit-level parity studies.
     pallas_train_dtype: str = "bfloat16"
+    # one-shot train step: loss AND grads in a single kernel pass (forward
+    # once per block, analytic NLL cotangents, in-kernel backward — see
+    # ops/pallas_train.FusedTrainStep). Measured +24% over the segment
+    # custom_vjp path at batch 8192 on one chip. Off = segment path.
+    pallas_oneshot: bool = True
     # train steps fused into one device dispatch via lax.scan (Trainer
     # stacks this many same-shape minibatches per call). 1 = step-per-call.
     steps_per_call: int = 1

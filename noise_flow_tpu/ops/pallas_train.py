@@ -493,6 +493,421 @@ def make_segment_fn(ops: Tuple, bt: int, dtype_name: str, interpret: bool):
 # FusedFlow: full loss assembly
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# one-shot train step: loss AND grads in a single kernel pass (round 3)
+# ---------------------------------------------------------------------------
+#
+# The custom_vjp segment path above computes the forward twice per train step
+# (the primal kernel, then the backward kernel's in-VMEM recompute). But the
+# NLL loss's cotangents are known analytically — d(mean nll)/dz = z/B and
+# d(mean nll)/d ldj_i = -1/B — so a single kernel can run the forward ONCE
+# per block, keep the (pruned) activations in VMEM, and do the reverse sweep
+# immediately: no recompute, BN ghost moments computed once, no z round-trip
+# through HBM. Scale-only conditional layers run in-kernel as
+# ``x * (a*clean + b)^-1/2`` with per-example (a, b) extracted through the
+# layer's own forward (the Pallas sampler's trick), while their log-dets —
+# x-independent — are computed OUTSIDE by calling the layer's `inverse` on a
+# dummy input, so every reference quirk (gain scalar ldj, gain4 pixel
+# factor, shared sdn_gain group) is reused verbatim, never re-derived.
+# Parameter gradients come back through `jax.vjp` of the differentiable
+# fold/extraction, exactly like the segment path.
+#
+# Measured (TPU v5e, batch 2048, bt 64, experiments/train_attrib.py): the
+# segment path spends 1455 us (fwd kernel) + 3357 us (bwd kernel) per
+# 4-coupling segment; the one-shot kernel replaces both with a single
+# ~bwd-cost pass (the fwd kernel and the bwd recompute's stat reductions
+# disappear).
+
+
+def _step_kernel_factory(ops, bt: int, mm_dtype, inv_b: float, ns_pad: int):
+    """Kernel: forward chain + in-place backward for the mean-NLL loss.
+
+    ops: (("mix", i) | ("coup", i) | ("scale", j), ...) in inverse order.
+    inv_b: 1 / local_batch (static; seeds the analytic cotangents).
+    Outputs per block: per-sample partial rows (ldj, sum z, sum z^2 over H),
+    per-sample scale-coefficient grads, averaged ghost-BN moments, and
+    grid-accumulated weight grads.
+    """
+    from jax.experimental import pallas as pl
+
+    mm = _mk_mm(mm_dtype)
+    n_el = bt * H * W
+
+    def kernel(x_ref, clean_ref, sa_ref, sb_ref, rs_ref,
+               mixes_ref, m1s_ref, b1s_ref, m2s_ref, b2s_ref, m3s_ref,
+               offs_ref,
+               ldjp_ref, zsp_ref, z2p_ref, gsa_ref, gsb_ref, bnacc_ref,
+               grs_ref, gmixes_ref, gm1s_ref, gm2s_ref, gm3s_ref, goffs_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+        keep = (lane % C) < (C // 2)
+        csel = _chan_sel()
+
+        def cmean(v2):
+            return mm(jnp.sum(v2, axis=0, keepdims=True), csel) * (1.0 / n_el)
+
+        # ---- forward sweep, stashing pruned residuals ---------------------
+        x = x_ref[:]
+        ldj = jnp.zeros((bt, L), jnp.float32)
+        res = []
+        bn_rows = []
+        for kind, idx in ops:
+            if kind == "mix":
+                res.append((x,))
+                x = mm(x.reshape(bt * H, L), mixes_ref[idx]).reshape(bt, H, L)
+            elif kind == "scale":
+                a = sa_ref[:, 0, idx].reshape(bt, 1, 1)
+                b = sb_ref[:, 0, idx].reshape(bt, 1, 1)
+                irt = 1.0 / jnp.sqrt(a * clean_ref[:] + b)
+                res.append((x, irt))
+                x = x * irt
+            else:
+                x_in = x
+                h1 = _conv3(mm, x, m1s_ref[idx], bt) + b1s_ref[idx].reshape(1, L)
+                m1v = cmean(h1)
+                d1 = h1 - m1v
+                v1v = cmean(d1 * d1)
+                is1 = jax.lax.rsqrt(v1v + BN_EPS)
+                n1 = d1 * is1
+                r1 = jax.nn.relu(n1)
+                h2 = mm(r1, m2s_ref[idx]) + b2s_ref[idx].reshape(1, L)
+                m2v = cmean(h2)
+                d2 = h2 - m2v
+                v2v = cmean(d2 * d2)
+                is2 = jax.lax.rsqrt(v2v + BN_EPS)
+                n2 = d2 * is2
+                r2 = jax.nn.relu(n2)
+                t = _conv3(mm, r2.reshape(bt, H, L), m3s_ref[idx], bt)
+                t = t.reshape(bt, H, L) + offs_ref[idx].reshape(1, H, L)
+                th = jnp.tanh(t)
+                ls = rs_ref[idx, 0] * th
+                els = jnp.exp(ls)
+                res.append((x_in, n1, is1, n2, is2, th, els))
+                x = jnp.where(keep, x, x * els + jnp.roll(t, 2, axis=-1))
+                ldj += jnp.sum(jnp.where(keep, 0.0, ls), axis=1)
+                bn_rows.append(jnp.concatenate([m1v, v1v, m2v, v2v], 0))
+
+        z = x
+        ldjp_ref[:] = ldj.reshape(bt, 1, L)
+        zsp_ref[:] = jnp.sum(z, axis=1).reshape(bt, 1, L)
+        z2p_ref[:] = jnp.sum(z * z, axis=1).reshape(bt, 1, L)
+        if bn_rows:
+            stats = jnp.stack(bn_rows)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                bnacc_ref[:] = stats
+
+            @pl.when(pl.program_id(0) != 0)
+            def _acc_bn():
+                bnacc_ref[:] += stats
+        else:
+            bnacc_ref[:] = jnp.zeros_like(bnacc_ref)
+
+        # ---- backward sweep (analytic seeds) ------------------------------
+        g = z * inv_b                   # d(mean nll)/dz
+        gl_const = -inv_b               # d(mean nll)/d ldj_i
+        first = pl.program_id(0) == 0
+        grs_rows = []
+        gsa_cols = {}
+        gsb_cols = {}
+
+        def acc(ref, idx, val):
+            @pl.when(first)
+            def _i():
+                ref[idx] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _a():
+                ref[idx] += val
+
+        def bn_bwd(gn, n, inv_s):
+            return inv_s * (gn - cmean(gn) - n * cmean(gn * n))
+
+        for kind, idx in reversed(list(ops)):
+            r = res.pop()
+            if kind == "mix":
+                (x_in,) = r
+                acc(gmixes_ref, idx,
+                    mm(x_in.reshape(bt * H, L).T, g.reshape(bt * H, L)))
+                g = mm(g.reshape(bt * H, L),
+                       mixes_ref[idx].T).reshape(bt, H, L)
+            elif kind == "scale":
+                x_in, irt = r
+                com = g * x_in * (-0.5) * (irt * irt * irt)
+                gsa_cols[idx] = jnp.sum(
+                    jnp.sum(com * clean_ref[:], axis=1), axis=-1,
+                    keepdims=True)                               # [bt, 1]
+                gsb_cols[idx] = jnp.sum(
+                    jnp.sum(com, axis=1), axis=-1, keepdims=True)
+                g = g * irt
+            else:
+                x_in, n1, is1, n2, is2, th, els = r
+                gcpl = jnp.where(keep, 0.0, g)
+                gls = gcpl * x_in * els + jnp.where(keep, 0.0, gl_const)
+                sech2 = 1.0 - th * th
+                gt = gls * rs_ref[idx, 0] * sech2 + jnp.roll(gcpl, -2, axis=-1)
+                grs_rows.insert(0, jnp.sum((gls * th).reshape(bt * H, L),
+                                           axis=0, keepdims=True))
+                acc(goffs_ref, idx, jnp.sum(gt, axis=0))
+                gt2 = gt.reshape(bt * H, L)
+                r2 = jax.nn.relu(n2)
+                w3 = _conv3_wgrad(mm, r2.reshape(bt, H, L), gt2, bt)
+                acc(gm3s_ref, idx, jnp.stack(w3))
+                gr2 = _conv3_t(mm, gt2, m3s_ref[idx], bt)
+                gn2 = gr2 * (n2 > 0)
+                gh2 = bn_bwd(gn2, n2, is2)
+                r1 = jax.nn.relu(n1)
+                acc(gm2s_ref, idx, mm(r1.T, gh2))
+                gr1 = mm(gh2, m2s_ref[idx].T)
+                gn1 = gr1 * (n1 > 0)
+                gh1 = bn_bwd(gn1, n1, is1)
+                w1 = _conv3_wgrad(mm, x_in, gh1, bt)
+                acc(gm1s_ref, idx, jnp.stack(w1))
+                gx_nn = _conv3_t(mm, gh1, m1s_ref[idx], bt).reshape(bt, H, L)
+                g = jnp.where(keep, g, g * els) + gx_nn
+
+        if grs_rows:
+            acc(grs_ref, slice(None), jnp.concatenate(grs_rows, 0))
+        else:
+            grs_ref[:] = jnp.zeros_like(grs_ref)
+        zero_col = jnp.zeros((bt, 1), jnp.float32)
+        gsa_ref[:] = jnp.concatenate(
+            [gsa_cols.get(j, zero_col) for j in range(ns_pad)],
+            axis=1).reshape(bt, 1, ns_pad)
+        gsb_ref[:] = jnp.concatenate(
+            [gsb_cols.get(j, zero_col) for j in range(ns_pad)],
+            axis=1).reshape(bt, 1, ns_pad)
+
+    return kernel
+
+
+def _step_call(ops, bt, mm_dtype, inv_b, ns_pad, interpret,
+               x, clean, sa, sb, rescales, mixes, m1s, b1s, m2s, b2s, m3s,
+               offs):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = x.shape[0]
+    nc, nm = m1s.shape[0], mixes.shape[0]
+    kernel = _step_kernel_factory(ops, bt, mm_dtype, inv_b, ns_pad)
+    batch3 = pl.BlockSpec((bt, H, L), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    row3 = pl.BlockSpec((bt, 1, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    # [B, 1, ns] layout: block (bt, 1, ns) has its last two dims equal to
+    # the array dims, which satisfies Mosaic's block-shape rule for ANY bt
+    # (a (bt, ns) block needs bt % 8 == 0 — impossible at batch 138)
+    col2 = pl.BlockSpec((bt, 1, ns_pad), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    consts = _vmem_specs([mixes.shape, m1s.shape, b1s.shape, m2s.shape,
+                          b2s.shape, m3s.shape, offs.shape], pl, pltpu)
+    rs_spec = pl.BlockSpec(rescales.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    acc_shapes = [(nc, 4, L), (nc, L), (nm, L, L), (nc, 3, L, L), (nc, L, L),
+                  (nc, 3, L, L), (nc, H, L)]
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[batch3, batch3, col2, col2, rs_spec] + consts,
+        out_specs=[row3, row3, row3, col2, col2] + _vmem_specs(
+            acc_shapes, pl, pltpu),
+        out_shape=[jax.ShapeDtypeStruct((b, 1, 128), jnp.float32)] * 3 + [
+            jax.ShapeDtypeStruct((b, 1, ns_pad), jnp.float32)] * 2 + [
+            jax.ShapeDtypeStruct(s, jnp.float32) for s in acc_shapes],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(x, clean, sa, sb, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs)
+
+
+class FusedTrainStep:
+    """One-kernel loss+grad train path over a NoiseFlow (ghost BN).
+
+    loss_and_grad(params, state, xp, cond) -> (nll, sd_z, new_state, grads)
+    with semantics matching ``jax.value_and_grad`` of ``FusedFlow.loss`` in
+    train mode (same ghost-BN variant, same reference ldj quirks — scale-layer
+    ldjs and the mix log-dets are evaluated through the layers' own
+    formulas). Envelope: same as FusedFlow, plus at most 4 scale layers.
+    """
+
+    MAX_SCALE = 4
+
+    def __init__(self, flow, bt: int = 64, mm_dtype=jnp.float32,
+                 interpret: bool = None):
+        cfg = flow.cfg
+        if flow.n_levels != 1 or cfg.squeeze_factor != 1:
+            raise ValueError("fused path supports single-level unsqueezed flows")
+        if tuple(flow.x_shape) != (H, W, C):
+            raise ValueError(f"fused path requires x_shape {(H, W, C)}")
+        if getattr(cfg, "coupling_nn", "conv") == "dense":
+            raise ValueError("fused path supports only the conv coupling template")
+        if cfg.width > C:
+            raise ValueError(f"fused path supports coupling width <= {C}")
+        kinds = {s.kind for s in flow.level_specs[0]}
+        if not kinds <= SUPPORTED_KINDS:
+            raise ValueError(f"unsupported layer kinds {kinds - SUPPORTED_KINDS}")
+        self.flow = flow
+        self.cfg = cfg
+        self.bt = bt
+        self.width = cfg.width
+        self.mm_dtype = mm_dtype
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+        specs = flow.level_specs[0]
+        ops = []
+        self.scale_idx = []     # spec indices of scale layers (op order)
+        self.nonscale_idx = []
+        nm = nc = 0
+        for i, s in enumerate(specs):
+            if s.kind in SUPPORTED_SCALE_KINDS:
+                ops.append(("scale", len(self.scale_idx)))
+                self.scale_idx.append(i)
+            elif s.kind == "coupling":
+                ops.append(("coup", nc))
+                nc += 1
+                self.nonscale_idx.append(i)
+            else:
+                ops.append(("mix", nm))
+                nm += 1
+                self.nonscale_idx.append(i)
+        if len(self.scale_idx) > self.MAX_SCALE:
+            raise ValueError(
+                f"one-shot step supports <= {self.MAX_SCALE} scale layers")
+        self.ops = tuple(ops)
+        self.seg = Segment(tuple(o for o in ops if o[0] != "scale"), nm, nc)
+        self.ns_pad = max(len(self.scale_idx), 1)
+
+    # ------------------------------------------------------------- internal
+    def _prep(self, params, state, cond, batch: int):
+        """Differentiable fold of params -> kernel inputs + XLA ldj terms."""
+        flow, cfg = self.flow, self.cfg
+        specs = flow.level_specs[0]
+        p_lvl, s_lvl = params["layers"][0], state["layers"][0]
+        shared = flow._shared_view(params)
+        mats, mix_logdet = _fold_segment(
+            self.seg, [specs[i] for i in self.nonscale_idx],
+            [p_lvl[i] for i in self.nonscale_idx],
+            [s_lvl[i] for i in self.nonscale_idx], cfg, self.width)
+        cond4 = dict(cond)
+        if cond.get("clean") is not None:
+            cond4["clean"] = cond["clean"][:, None]
+        ones_probe = jnp.ones((batch, 1, 1, 1), jnp.float32)
+        dummy = jnp.ones((batch, 1, H, L), jnp.float32)
+        sa_cols, sb_cols = [], []
+        ildj_scale = jnp.zeros((batch,), jnp.float32)
+        for i in self.scale_idx:
+            ldef = get_layer_def(specs[i].kind, cfg)
+            c0 = dict(cond4, clean=jnp.zeros_like(ones_probe))
+            c1 = dict(cond4, clean=ones_probe)
+            s0, _, _ = ldef.forward(p_lvl[i], shared, s_lvl[i], ones_probe,
+                                    c0, False)
+            s1, _, _ = ldef.forward(p_lvl[i], shared, s_lvl[i], ones_probe,
+                                    c1, False)
+            b = (s0 * s0).reshape(batch, -1)[:, :1]
+            a = (s1 * s1).reshape(batch, -1)[:, :1] - b
+            sa_cols.append(a)
+            sb_cols.append(b)
+            # x-independent ldj through the layer's own inverse (all
+            # reference quirks — gain scalar mode, gain4 pixel factor —
+            # apply verbatim; scale-only layers never touch state)
+            _, ildj_i, _ = ldef.inverse(p_lvl[i], shared, s_lvl[i], dummy,
+                                        cond4, True)
+            ildj_scale = ildj_scale + ildj_i
+        pad = self.ns_pad - len(sa_cols)
+        sa = jnp.concatenate(
+            sa_cols + [jnp.zeros((batch, 1))] * pad, axis=1)
+        sb = jnp.concatenate(
+            sb_cols + [jnp.ones((batch, 1))] * pad, axis=1)
+        return mats, sa, sb, ildj_scale, mix_logdet
+
+    # --------------------------------------------------------------- public
+    def loss_and_grad(self, params, state, xp, cond):
+        """(nll, sd_z, new_state, grads) for the mean-NLL train objective."""
+        batch = xp.shape[0]
+        if batch % self.bt:
+            raise ValueError(f"batch {batch} not a multiple of bt {self.bt}")
+        clean = cond["clean"]
+
+        prep = lambda p: self._prep(p, state, cond, batch)  # noqa: E731
+        (mats, sa, sb, ildj_scale, mix_logdet), vjp_fn = jax.vjp(prep, params)
+
+        dtype_name = ("bfloat16" if self.mm_dtype == jnp.bfloat16
+                      else "float32")
+        outs = _jitted_step(self.ops, self.bt, dtype_name, 1.0 / batch,
+                            self.ns_pad, self.interpret, xp, clean,
+                            sa.reshape(batch, 1, self.ns_pad),
+                            sb.reshape(batch, 1, self.ns_pad),
+                            mats["rescales"], mats["mixes"], mats["m1s"],
+                            mats["b1s"], mats["m2s"], mats["b2s"],
+                            mats["m3s"], mats["offs"])
+        (ldjp, zsp, z2p, gsa, gsb, bnacc, grs_l, gmixes, gm1s, gm2s, gm3s,
+         goffs) = outs
+
+        ldj = jnp.sum(ldjp[:, 0], axis=1)
+        zs = jnp.sum(zsp[:, 0], axis=1)
+        z2 = jnp.sum(z2p[:, 0], axis=1)
+        n_dims = H * L
+        logp = -0.5 * (n_dims * float(np.log(2.0 * np.pi)) + z2)
+        obj = ldj + mix_logdet + ildj_scale + logp
+        nll = jnp.mean(-obj)
+        var_z = z2 / n_dims - (zs / n_dims) ** 2
+        sd_z = jnp.mean(jnp.sqrt(jnp.maximum(var_z, 0.0)))
+
+        inv_b = 1.0 / batch
+        cots_mats = {
+            "rescales": jnp.sum(grs_l, axis=1).reshape(-1, 1),
+            "mixes": gmixes, "m1s": gm1s, "b1s": jnp.zeros_like(mats["b1s"]),
+            "m2s": gm2s, "b2s": jnp.zeros_like(mats["b2s"]), "m3s": gm3s,
+            "offs": goffs, "bnrun": jnp.zeros_like(mats["bnrun"]),
+        }
+        cot_ildj = jnp.full((batch,), -inv_b, jnp.float32)
+        grads = vjp_fn((cots_mats, gsa[:, 0], gsb[:, 0], cot_ildj,
+                        jnp.asarray(-1.0, mix_logdet.dtype)))[0]
+
+        # BN running-state update from averaged block moments
+        bnacc = bnacc * (self.bt / batch)
+        s_lvl = state["layers"][0]
+        new_lvl = list(s_lvl)
+        specs = self.flow.level_specs[0]
+        ci = 0
+        for i in self.nonscale_idx:
+            if specs[i].kind != "coupling":
+                continue
+            rows = bnacc[ci]
+            old = s_lvl[i]["nn"]
+            wd = self.width
+            new_lvl[i] = {"nn": {
+                "bn1": {
+                    "mean": old["bn1"]["mean"] - BN_DECAY * (
+                        old["bn1"]["mean"] - rows[0, :wd]),
+                    "var": old["bn1"]["var"] - BN_DECAY * (
+                        old["bn1"]["var"] - rows[1, :wd]),
+                },
+                "bn2": {
+                    "mean": old["bn2"]["mean"] - BN_DECAY * (
+                        old["bn2"]["mean"] - rows[2, :wd]),
+                    "var": old["bn2"]["var"] - BN_DECAY * (
+                        old["bn2"]["var"] - rows[3, :wd]),
+                },
+            }}
+            ci += 1
+        return nll, sd_z, {"layers": [new_lvl]}, grads
+
+
+@functools.lru_cache(maxsize=64)
+def _step_fn_cached(ops: Tuple, bt: int, dtype_name: str, inv_b: float,
+                    ns_pad: int, interpret: bool):
+    mm_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    return functools.partial(_step_call, ops, bt, mm_dtype, inv_b, ns_pad,
+                             interpret)
+
+
+def _jitted_step(ops, bt, dtype_name, inv_b, ns_pad, interpret, *args):
+    return _step_fn_cached(ops, bt, dtype_name, float(inv_b), ns_pad,
+                           interpret)(*args)
+
+
 class FusedFlow:
     """Fused-Pallas NLL/train path over a NoiseFlow.
 

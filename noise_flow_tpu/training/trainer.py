@@ -100,9 +100,11 @@ class Trainer:
         # (per-block batch moments) — see the module docstring; parity with
         # the reference's exact batch BN holds when batch <= 256.
         self._fused_cache = {}
+        self._step_cache = {}
         self.use_fused = False
+        self.use_oneshot = False
         if getattr(cfg, "use_pallas", False):
-            from noise_flow_tpu.ops.pallas_train import FusedFlow
+            from noise_flow_tpu.ops.pallas_train import FusedFlow, FusedTrainStep
             try:
                 FusedFlow(flow, bt=8)  # envelope check only
                 self.use_fused = True
@@ -112,6 +114,16 @@ class Trainer:
                 logging.getLogger(__name__).warning(
                     "use_pallas requested but arch outside the fused "
                     "envelope (%s); falling back to the XLA path", e)
+            if self.use_fused:
+                # one-shot loss+grad kernel (fwd once, in-kernel backward);
+                # falls back to the custom_vjp segment path outside its
+                # envelope (e.g. > 4 scale layers)
+                try:
+                    FusedTrainStep(flow, bt=8)
+                    self.use_oneshot = getattr(cfg, "pallas_oneshot", True)
+                    self._step_cls = FusedTrainStep
+                except ValueError:
+                    pass
         self._build_steps()
 
     def _fused_for_batch(self, b: int):
@@ -166,24 +178,69 @@ class Trainer:
                          out_specs=(P(), P(), P()),
                          check_vma=False)(params, state, xp, cond)
 
+    def _step_for_batch(self, b: int):
+        bt = _pick_block(b, target=64)
+        if bt not in self._step_cache:
+            dtype = (jnp.bfloat16
+                     if getattr(self.cfg, "pallas_train_dtype",
+                                "bfloat16") == "bfloat16" else jnp.float32)
+            self._step_cache[bt] = self._step_cls(self.flow, bt=bt,
+                                                  mm_dtype=dtype)
+        return self._step_cache[bt]
+
+    def _fused_loss_grad(self, params, state, batch):
+        """One-shot fused loss AND grads (ops/pallas_train.FusedTrainStep),
+        shard_map'd over the data mesh like _fused_loss; grads pmean over
+        the axis (the explicit form of the DP gradient all-reduce)."""
+        xp, cond = self._pack_batch(batch)
+        if self.mesh.size == 1:
+            fs = self._step_for_batch(xp.shape[0])
+            return fs.loss_and_grad(params, state, xp, cond)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        trainer = self
+
+        def local(p_, st_, xp_, cond_):
+            fs = trainer._step_for_batch(xp_.shape[0])
+            nll, sd_z, new_state, grads = fs.loss_and_grad(p_, st_, xp_,
+                                                           cond_)
+            pm = lambda t: jax.lax.pmean(t, axis)  # noqa: E731
+            return (pm(nll), pm(sd_z),
+                    jax.tree_util.tree_map(pm, new_state),
+                    jax.tree_util.tree_map(pm, grads))
+
+        return shard_map(local, mesh=self.mesh,
+                         in_specs=(P(), P(), P(axis), P(axis)),
+                         out_specs=(P(), P(), P(), P()),
+                         check_vma=False)(params, state, xp, cond)
+
     # ------------------------------------------------------------------ jit
     def _build_steps(self):
         flow, optimizer = self.flow, self.optimizer
         trainer = self
 
         def train_step(params, state, opt_state, batch):
-            def loss_fn(p):
-                if trainer.use_fused:
-                    nll, sd_z, new_state = trainer._fused_loss(
-                        p, state, batch, train=True)
-                else:
-                    nll, sd_z, new_state = flow.loss(
-                        p, state, batch["_x"], batch_to_cond(batch),
-                        train=True)
-                return nll, (sd_z, new_state)
+            if trainer.use_oneshot:
+                # single-kernel loss+grad (analytic cotangents; no separate
+                # primal forward) — see ops/pallas_train.FusedTrainStep
+                nll, sd_z, new_state, grads = trainer._fused_loss_grad(
+                    params, state, batch)
+            else:
+                def loss_fn(p):
+                    if trainer.use_fused:
+                        nll, sd_z, new_state = trainer._fused_loss(
+                            p, state, batch, train=True)
+                    else:
+                        nll, sd_z, new_state = flow.loss(
+                            p, state, batch["_x"], batch_to_cond(batch),
+                            train=True)
+                    return nll, (sd_z, new_state)
 
-            (nll, (sd_z, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+                (nll, (sd_z, new_state)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_state, new_opt, nll, sd_z

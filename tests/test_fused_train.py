@@ -283,3 +283,107 @@ def test_trainer_fused_multidevice_shardmap():
     nll1, _ = tr.train_epoch(iter(batches))
     assert np.isfinite(nll0) and np.isfinite(nll1)
     assert nll1 < nll0
+
+
+# ---------------------------------------------------------------------------
+# one-shot loss+grad kernel (FusedTrainStep)
+# ---------------------------------------------------------------------------
+
+def _oneshot_and_segment(arch, b, bt, seed=0):
+    from noise_flow_tpu.ops.pallas_train import FusedTrainStep
+
+    flow, params, state = _flow(arch)
+    x, cond = _batch(b, seed)
+    xp, condp = pack(np.asarray(x)), _pack_cond(cond)
+    ff = FusedFlow(flow, bt=bt)
+    fs = FusedTrainStep(flow, bt=bt)
+
+    def loss_fn(p):
+        nll, sd_z, new_state = ff.loss(p, state, xp, condp, True)
+        return nll, (sd_z, new_state)
+
+    (nll0, (sd0, st0)), g0 = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    nll1, sd1, st1, g1 = fs.loss_and_grad(params, state, xp, condp)
+    return (nll0, sd0, st0, g0), (nll1, sd1, st1, g1)
+
+
+@pytest.mark.parametrize("arch,b,bt", [
+    (ARCH, 8, 8),                      # published arch, single block
+    (ARCH, 16, 8),                     # multi-block accumulation
+    ("unc|unc", 8, 8),                 # no scale layers
+    ("sdn|unc|gain2|unc", 8, 8),       # other scale kinds (scalar-ldj gain)
+])
+def test_oneshot_matches_segment_path(arch, b, bt):
+    """FusedTrainStep == jax.value_and_grad of the custom_vjp segment path:
+    loss, sd_z, BN state update, and every parameter gradient."""
+    (nll0, sd0, st0, g0), (nll1, sd1, st1, g1) = _oneshot_and_segment(
+        arch, b, bt)
+    np.testing.assert_allclose(float(nll1), float(nll0), rtol=2e-6, atol=1e-3)
+    np.testing.assert_allclose(float(sd1), float(sd0), rtol=1e-5, atol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(st0),
+                    jax.tree_util.tree_leaves(st1)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    for (path, a), (_, c) in zip(flat0, flat1):
+        key = "/".join(str(p) for p in path)
+        a, c = np.asarray(a), np.asarray(c)
+        scale = max(np.max(np.abs(a)), 1e-8)
+        np.testing.assert_allclose(c, a, rtol=5e-5, atol=5e-5 * scale,
+                                   err_msg=key)
+
+
+def test_oneshot_grads_match_nhwc_single_block():
+    """B == bt: one-shot grads vs jax.grad of the NHWC XLA path (exact batch
+    BN), the same reference-parity bar as the segment path."""
+    from noise_flow_tpu.ops.pallas_train import FusedTrainStep
+
+    flow, params, state = _flow()
+    x, cond = _batch(8)
+    xp, condp = pack(np.asarray(x)), _pack_cond(cond)
+    fs = FusedTrainStep(flow, bt=8)
+
+    g_ref = jax.grad(lambda p: flow.loss(p, state, x, cond, True)[0])(params)
+    nll_ref = flow.loss(params, state, x, cond, True)[0]
+    nll1, _, _, g1 = fs.loss_and_grad(params, state, xp, condp)
+    np.testing.assert_allclose(float(nll1), float(nll_ref),
+                               rtol=2e-5, atol=2e-3)
+    flat_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    for (path, a), (_, c) in zip(flat_ref, flat_1):
+        key = "/".join(str(p) for p in path)
+        a, c = np.asarray(a), np.asarray(c)
+        if "l1_b" in key or "l2_b" in key:
+            assert np.max(np.abs(c)) == 0.0, key
+            continue
+        scale = max(np.max(np.abs(a)), 1e-8)
+        np.testing.assert_allclose(c, a, rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=key)
+
+
+def test_trainer_oneshot_toggle_equivalence():
+    """Trainer(pallas_oneshot=True) and =False produce the same parameter
+    trajectory (the one-shot kernel is a drop-in for value_and_grad)."""
+    from noise_flow_tpu.parallel.mesh import make_mesh
+    from noise_flow_tpu.training.trainer import Trainer
+
+    outs = {}
+    for oneshot in (True, False):
+        cfg = default_config(arch=ARCH, patch_height=32, lr=1e-3,
+                             use_pallas=True)
+        cfg.pallas_oneshot = oneshot
+        tr = Trainer(NoiseFlow((32, 32, 4), cfg), cfg, mesh=make_mesh(1))
+        assert tr.use_oneshot == oneshot
+        batches = [_mb(8, s) for s in range(2)]
+        tr.train_epoch(iter(batches))
+        outs[oneshot] = tr.params
+    fa = jax.tree_util.tree_flatten_with_path(outs[True])[0]
+    fb = jax.tree_util.tree_flatten_with_path(outs[False])[0]
+    for (path, a), (_, b) in zip(fa, fb):
+        key = "/".join(str(p) for p in path)
+        if "l1_b" in key or "l2_b" in key:
+            continue  # zero-grad biases: f32 noise vs exact zeros
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=key)
