@@ -159,3 +159,67 @@ def plot_param_evolution(ckpt_dir: str, out_path: str = "params.png",
     fig.savefig(out_path, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def load_cam_iso_nlf_all(path: str = "cam_iso_nlf_all.txt"):
+    """Parse the full per-camera NLF table (ref:plotting/plot_gain_params.py:
+    load_cam_iso_nlf over cam_iso_nlf_all.txt). Returns
+    {cam_id: [(iso, beta1), ...]} sorted by iso."""
+    prof: Dict[str, list] = {}
+    with open(path) as f:
+        header = f.readline()
+        assert header.startswith("cam_iso")
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            cam_iso, b1, _b2 = ln.split(",")
+            prof.setdefault(cam_iso[:2], []).append(
+                (float(cam_iso[3:]), float(b1)))
+    return {k: sorted(set(v)) for k, v in prof.items()}
+
+
+def plot_gain_vs_nlf(ckpt_dir: str, out_path: str = "gain_vs_nlf.png",
+                     nlf_all_path: str = "cam_iso_nlf_all.txt",
+                     c_gain: float = 1.0) -> str:
+    """Learned per-ISO gain curve vs the cameras' NLF beta1 profiles
+    (ref:plotting/plot_gain_params.py — the figure that checks whether the
+    learned gain ~ exp(gain_params[iso])*iso tracks the real per-camera
+    noise-level slopes). Left panel: gain_params evolution over epochs;
+    right panel: final learned gain per ISO against each camera's NLF beta1
+    (both normalized to their ISO-100 value, the scale-free comparison).
+    c_gain must match the shared sdn_gain group's c (1.0 for sdn4/5/6,
+    ref:cond_utils.py:184)."""
+    plt = _plt()
+    epochs, series = _load_ckpt_series(ckpt_dir, (r"gain_params",))
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
+    iso_vals = np.array([100.0, 400.0, 800.0, 1600.0, 3200.0])
+    gp_series = None
+    for k, v in series.items():
+        if v.shape[1] != 5:
+            continue
+        gp_series = v
+        for j, iso in enumerate(iso_vals):
+            axes[0].plot(epochs, v[:, j], label=f"gain_params[{int(iso)}]")
+    axes[0].set_xlabel("epoch")
+    axes[0].set_ylabel("gain_params value")
+    axes[0].legend(fontsize=7)
+    if gp_series is not None:
+        gain = np.exp(c_gain * gp_series[-1]) * iso_vals
+        axes[1].plot(iso_vals, gain / gain[0], "ko-", lw=2,
+                     label="learned gain (norm.)")
+    try:
+        for cam, prof in load_cam_iso_nlf_all(nlf_all_path).items():
+            isos = np.array([p[0] for p in prof])
+            b1 = np.array([p[1] for p in prof])
+            axes[1].plot(isos, b1 / b1[0], "--", alpha=0.7,
+                         label=f"{cam} NLF beta1 (norm.)")
+    except FileNotFoundError:
+        pass
+    axes[1].set_xlabel("ISO")
+    axes[1].set_ylabel("relative to ISO 100")
+    axes[1].set_xscale("log")
+    axes[1].legend(fontsize=7)
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -133,6 +133,17 @@ def test_plots_from_training_run(tmp_path):
                           out_path=str(tmp_path / "kvt.png"))
     assert os.path.exists(p4)
 
+    from noise_flow_tpu.analysis.plots import (
+        load_cam_iso_nlf_all,
+        plot_gain_vs_nlf,
+    )
+    prof = load_cam_iso_nlf_all("cam_iso_nlf_all.txt")
+    assert set(prof) == {"IP", "GP", "S6", "N6", "G4"}
+    assert all(b1 > 0 for v in prof.values() for _, b1 in v)
+    p5 = plot_gain_vs_nlf(os.path.join(logdir, "ckpt"),
+                          out_path=str(tmp_path / "gain_vs_nlf.png"))
+    assert os.path.exists(p5)
+
 
 def test_graphics_raster(tmp_path):
     from noise_flow_tpu.utils.graphics import save_image, save_raster, to_raster
