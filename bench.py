@@ -177,7 +177,11 @@ def main():
 
     # best of 5 windows: the tunneled chip is multi-tenant and shows
     # minute-scale load variance (2.18M vs 1.93M patches/s measured for the
-    # same binary hours apart); the max window is the uncontended rate
+    # same binary hours apart); the max window is the uncontended rate.
+    # Day-scale drift is wider still: the UNCHANGED sampler binary (cached
+    # executable, zero code delta) measured 2.17-2.18M through round 2 and
+    # 1.83-1.86M across all of round-3 day — read vs_baseline against that
+    # tenancy band, not as a code regression.
     n_iter = 20 if on_tpu else 5
     samples_per_sec = 0.0
     for w in range(5 if on_tpu else 1):
