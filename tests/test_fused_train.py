@@ -387,3 +387,25 @@ def test_trainer_oneshot_toggle_equivalence():
             continue  # zero-grad biases: f32 noise vs exact zeros
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5, err_msg=key)
+
+
+def test_trainer_oneshot_scan_dispatch():
+    """One-shot kernel inside the lax.scan multi-step dispatch
+    (Trainer.train_epoch(steps_per_call=K)) matches the step-per-call loop."""
+    from noise_flow_tpu.parallel.mesh import make_mesh
+    from noise_flow_tpu.training.trainer import Trainer
+
+    batches = [_mb(8, s) for s in range(4)]
+    outs = {}
+    for k in (1, 2):
+        cfg = default_config(arch=ARCH, patch_height=32, lr=1e-3,
+                             use_pallas=True)
+        tr = Trainer(NoiseFlow((32, 32, 4), cfg), cfg, mesh=make_mesh(1))
+        assert tr.use_oneshot
+        nll, _ = tr.train_epoch(iter(batches), steps_per_call=k)
+        outs[k] = (nll, tr.params)
+    np.testing.assert_allclose(outs[2][0], outs[1][0], rtol=1e-5, atol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][1]),
+                    jax.tree_util.tree_leaves(outs[2][1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
