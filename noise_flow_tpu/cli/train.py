@@ -158,10 +158,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                  cfg.arch or f"revnet({cfg.sidd_cond})", n_params,
                  tuple(mesh.shape.values()))
 
-    # config + variable dumps (ref:train_noise_flow.py:305-312)
+    # config + variable dumps (ref:train_noise_flow.py:305-312); args-only
+    # provenance flags go in too so a synthetic-data run is distinguishable
+    # from a real-SIDD run when reading the artifacts
     os.makedirs(cfg.logdir, exist_ok=True)
     save_hps(os.path.join(cfg.logdir, "hps.txt"), cfg,
-             flow.get_layer_names(), n_params)
+             flow.get_layer_names(), n_params,
+             extra={"synthetic_data": args.synthetic_data,
+                    "native_loader": bool(args.native_loader),
+                    "cache_dir": args.cache_dir or "",
+                    "num_processes": jax.process_count()})
     with open(os.path.join(cfg.logdir, "model_vars.txt"), "w") as f:
         for path, leaf in jax.tree_util.tree_flatten_with_path(trainer.params)[0]:
             key = "/".join(str(p) for p in path)

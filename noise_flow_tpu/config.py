@@ -131,14 +131,22 @@ def default_config(**overrides) -> Config:
     return cfg.finalize()
 
 
-def save_hps(path: str, cfg: Config, layer_names, num_params: int) -> None:
-    """csv dump compatible with the reference's hps.txt (ref:borealisflows/utils.py:110-119)."""
+def save_hps(path: str, cfg: Config, layer_names, num_params: int,
+             extra=None) -> None:
+    """csv dump compatible with the reference's hps.txt
+    (ref:borealisflows/utils.py:110-119).
+
+    extra: args-only provenance rows (e.g. synthetic_data, native_loader)
+    that are not Config fields but must be recorded for reproducibility;
+    load_hps skips unknown keys, so they round-trip harmlessly."""
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         for n in layer_names:
             w.writerow([n])
         w.writerow([num_params])
         for k, v in dataclasses.asdict(cfg).items():
+            w.writerow([k, v])
+        for k, v in (extra or {}).items():
             w.writerow([k, v])
 
 

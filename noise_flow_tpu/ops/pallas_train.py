@@ -519,11 +519,14 @@ def make_segment_fn(ops: Tuple, bt: int, dtype_name: str, interpret: bool):
 # disappear).
 
 
-def _step_kernel_factory(ops, bt: int, mm_dtype, inv_b: float, ns_pad: int):
+def _step_kernel_factory(ops, bt: int, mm_dtype, ns_pad: int):
     """Kernel: forward chain + in-place backward for the mean-NLL loss.
 
     ops: (("mix", i) | ("coup", i) | ("scale", j), ...) in inverse order.
-    inv_b: 1 / local_batch (static; seeds the analytic cotangents).
+    1/batch arrives as an SMEM scalar operand (invb_ref) so the kernel body —
+    and hence the Mosaic compile — is identical across batch sizes; only the
+    grid length varies (a partial last batch of an epoch must not trigger a
+    fresh kernel build).
     Outputs per block: per-sample partial rows (ldj, sum z, sum z^2 over H),
     per-sample scale-coefficient grads, averaged ghost-BN moments, and
     grid-accumulated weight grads.
@@ -533,11 +536,12 @@ def _step_kernel_factory(ops, bt: int, mm_dtype, inv_b: float, ns_pad: int):
     mm = _mk_mm(mm_dtype)
     n_el = bt * H * W
 
-    def kernel(x_ref, clean_ref, sa_ref, sb_ref, rs_ref,
+    def kernel(x_ref, clean_ref, sa_ref, sb_ref, rs_ref, invb_ref,
                mixes_ref, m1s_ref, b1s_ref, m2s_ref, b2s_ref, m3s_ref,
                offs_ref,
                ldjp_ref, zsp_ref, z2p_ref, gsa_ref, gsb_ref, bnacc_ref,
                grs_ref, gmixes_ref, gm1s_ref, gm2s_ref, gm3s_ref, goffs_ref):
+        inv_b = invb_ref[0, 0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
         keep = (lane % C) < (C // 2)
         csel = _chan_sel()
@@ -681,15 +685,15 @@ def _step_kernel_factory(ops, bt: int, mm_dtype, inv_b: float, ns_pad: int):
     return kernel
 
 
-def _step_call(ops, bt, mm_dtype, inv_b, ns_pad, interpret,
-               x, clean, sa, sb, rescales, mixes, m1s, b1s, m2s, b2s, m3s,
-               offs):
+def _step_call(ops, bt, mm_dtype, ns_pad, interpret,
+               x, clean, sa, sb, rescales, invb, mixes, m1s, b1s, m2s, b2s,
+               m3s, offs):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = x.shape[0]
     nc, nm = m1s.shape[0], mixes.shape[0]
-    kernel = _step_kernel_factory(ops, bt, mm_dtype, inv_b, ns_pad)
+    kernel = _step_kernel_factory(ops, bt, mm_dtype, ns_pad)
     batch3 = pl.BlockSpec((bt, H, L), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     row3 = pl.BlockSpec((bt, 1, 128), lambda i: (i, 0, 0),
@@ -703,12 +707,14 @@ def _step_call(ops, bt, mm_dtype, inv_b, ns_pad, interpret,
                           b2s.shape, m3s.shape, offs.shape], pl, pltpu)
     rs_spec = pl.BlockSpec(rescales.shape, lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
+    invb_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     acc_shapes = [(nc, 4, L), (nc, L), (nm, L, L), (nc, 3, L, L), (nc, L, L),
                   (nc, 3, L, L), (nc, H, L)]
     return pl.pallas_call(
         kernel,
         grid=(b // bt,),
-        in_specs=[batch3, batch3, col2, col2, rs_spec] + consts,
+        in_specs=[batch3, batch3, col2, col2, rs_spec, invb_spec] + consts,
         out_specs=[row3, row3, row3, col2, col2] + _vmem_specs(
             acc_shapes, pl, pltpu),
         out_shape=[jax.ShapeDtypeStruct((b, 1, 128), jnp.float32)] * 3 + [
@@ -718,7 +724,7 @@ def _step_call(ops, bt, mm_dtype, inv_b, ns_pad, interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(x, clean, sa, sb, rescales, mixes, m1s, b1s, m2s, b2s, m3s, offs)
+    )(x, clean, sa, sb, rescales, invb, mixes, m1s, b1s, m2s, b2s, m3s, offs)
 
 
 class FusedTrainStep:
@@ -834,13 +840,14 @@ class FusedTrainStep:
 
         dtype_name = ("bfloat16" if self.mm_dtype == jnp.bfloat16
                       else "float32")
-        outs = _jitted_step(self.ops, self.bt, dtype_name, 1.0 / batch,
+        invb = jnp.full((1, 1), 1.0 / batch, jnp.float32)
+        outs = _jitted_step(self.ops, self.bt, dtype_name,
                             self.ns_pad, self.interpret, xp, clean,
                             sa.reshape(batch, 1, self.ns_pad),
                             sb.reshape(batch, 1, self.ns_pad),
-                            mats["rescales"], mats["mixes"], mats["m1s"],
-                            mats["b1s"], mats["m2s"], mats["b2s"],
-                            mats["m3s"], mats["offs"])
+                            mats["rescales"], invb, mats["mixes"],
+                            mats["m1s"], mats["b1s"], mats["m2s"],
+                            mats["b2s"], mats["m3s"], mats["offs"])
         (ldjp, zsp, z2p, gsa, gsb, bnacc, grs_l, gmixes, gm1s, gm2s, gm3s,
          goffs) = outs
 
@@ -896,16 +903,17 @@ class FusedTrainStep:
 
 
 @functools.lru_cache(maxsize=64)
-def _step_fn_cached(ops: Tuple, bt: int, dtype_name: str, inv_b: float,
+def _step_fn_cached(ops: Tuple, bt: int, dtype_name: str,
                     ns_pad: int, interpret: bool):
+    # keyed only on kernel-structure statics; 1/batch is a runtime SMEM
+    # operand, so batch-size changes never rebuild the kernel closure
     mm_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    return functools.partial(_step_call, ops, bt, mm_dtype, inv_b, ns_pad,
+    return functools.partial(_step_call, ops, bt, mm_dtype, ns_pad,
                              interpret)
 
 
-def _jitted_step(ops, bt, dtype_name, inv_b, ns_pad, interpret, *args):
-    return _step_fn_cached(ops, bt, dtype_name, float(inv_b), ns_pad,
-                           interpret)(*args)
+def _jitted_step(ops, bt, dtype_name, ns_pad, interpret, *args):
+    return _step_fn_cached(ops, bt, dtype_name, ns_pad, interpret)(*args)
 
 
 class FusedFlow:

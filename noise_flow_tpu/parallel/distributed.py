@@ -56,6 +56,23 @@ def global_batch(mesh: Mesh, local_batch: Dict, axis: str = "data") -> Dict:
     return jax.tree_util.tree_map(put, local_batch)
 
 
+def global_batch_stacked(mesh: Mesh, local_stack: Dict,
+                         axis: str = "data") -> Dict:
+    """Assemble a [K, B_local, ...] per-host stack of K batches into global
+    [K, B_global, ...] arrays: dim 0 is the lax.scan step axis (replicated),
+    dim 1 sharded over the mesh. The multi-host twin of
+    mesh.shard_batch_stacked — lets the multi-step scan dispatch
+    (Trainer.train_epoch(steps_per_call=K)) run under data parallelism on a
+    pod, where per-step dispatch overhead matters most.
+    """
+    sharding = NamedSharding(mesh, P(None, axis))
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, local_stack)
+
+
 def global_mean(x, axis_name: str = "data"):
     """psum-based mean over the mesh axis — call inside shard_map/pjit."""
     import jax.numpy as jnp

@@ -13,7 +13,10 @@ and the NLL_G/NLL_SDN baseline columns match the reference
 
 from __future__ import annotations
 
+import logging
 import os
+import signal
+import threading
 import time
 from functools import partial
 from typing import Dict, Iterable, Optional
@@ -36,6 +39,21 @@ from noise_flow_tpu.utils.checkpoint import (
 )
 from noise_flow_tpu.utils.logger import ResultLogger
 from noise_flow_tpu.utils.metrics import calc_kldiv_mb, kl_div_3_data
+from noise_flow_tpu.utils.profiling import PhaseTimers
+
+
+def _timed_iter(it, timers, name: str):
+    """Yield from `it`, charging the time spent INSIDE the iterator (host
+    input: decode/patch/batch assembly) to timers[name] — the input-vs-step
+    attribution the reference's tr/ts/tv status line never had."""
+    it = iter(it)
+    while True:
+        with timers.phase(name):
+            try:
+                mb = next(it)
+            except StopIteration:
+                return
+        yield mb
 
 
 def make_optimizer(cfg):
@@ -86,6 +104,7 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh or make_mesh()
         self.optimizer = make_optimizer(cfg)
+        self.timers = PhaseTimers()  # input/step wall-clock attribution
         self.params, self.state = flow.init(
             jax.random.PRNGKey(cfg.seed), param_inits)
         # condSDN is a non-trainable baseline: evaluate only, never step
@@ -97,8 +116,11 @@ class Trainer:
         self.opt_state = replicate(self.mesh, self.opt_state)
         # fused Pallas NLL/backward path (ops/pallas_train.py). NOTE: for
         # batches larger than the kernel block this uses ghost-BN semantics
-        # (per-block batch moments) — see the module docstring; parity with
-        # the reference's exact batch BN holds when batch <= 256.
+        # (per-block batch moments) — see the module docstring. The one-shot
+        # default path blocks at _pick_block(b, target=64), so exact-batch-BN
+        # parity with the reference holds for batch <= 64 there (the segment
+        # path blocks at 128); batch 128 runs as two ghost-BN blocks of 64
+        # (pinned by tests/test_fused_train.py oneshot b=128/bt=64 case).
         self._fused_cache = {}
         self._step_cache = {}
         self.use_fused = False
@@ -126,9 +148,20 @@ class Trainer:
                     pass
         self._build_steps()
 
+    def _warn_new_kernel(self, cache, bt: int, what: str):
+        """Each new block size means a fresh multi-minute Mosaic compile over
+        a tunneled chip — make that visible instead of silent (a batch-size
+        sweep or ragged epoch tails would otherwise stack them up quietly)."""
+        if cache:
+            logging.getLogger(__name__).warning(
+                "%s: new kernel block bt=%d (known: %s) — unseen batch "
+                "divisor triggers a fresh Pallas compile; keep batch sizes "
+                "block-aligned to avoid this", what, bt, sorted(cache))
+
     def _fused_for_batch(self, b: int):
         bt = _pick_block(b)
         if bt not in self._fused_cache:
+            self._warn_new_kernel(self._fused_cache, bt, "fused loss")
             dtype = (jnp.bfloat16
                      if getattr(self.cfg, "pallas_train_dtype",
                                 "bfloat16") == "bfloat16" else jnp.float32)
@@ -181,6 +214,7 @@ class Trainer:
     def _step_for_batch(self, b: int):
         bt = _pick_block(b, target=64)
         if bt not in self._step_cache:
+            self._warn_new_kernel(self._step_cache, bt, "one-shot step")
             dtype = (jnp.bfloat16
                      if getattr(self.cfg, "pallas_train_dtype",
                                 "bfloat16") == "bfloat16" else jnp.float32)
@@ -314,15 +348,18 @@ class Trainer:
                     steps_per_call: Optional[int] = None):
         k = (steps_per_call if steps_per_call is not None
              else getattr(self.cfg, "steps_per_call", 1))
-        if k > 1 and self.trainable and jax.process_count() == 1:
+        if k > 1 and self.trainable:
             return self._train_epoch_scan(batches, k)
         losses, sdzs = [], []
-        for b in self._prefetched(batches):
-            if self.trainable:
-                self.params, self.state, self.opt_state, nll, sd_z = \
-                    self._train_step(self.params, self.state, self.opt_state, b)
-            else:
-                nll, sd_z = self._eval_step(self.params, self.state, b)
+        for b in self._prefetched(_timed_iter(batches, self.timers,
+                                              "input")):
+            with self.timers.phase("step"):
+                if self.trainable:
+                    self.params, self.state, self.opt_state, nll, sd_z = \
+                        self._train_step(self.params, self.state,
+                                         self.opt_state, b)
+                else:
+                    nll, sd_z = self._eval_step(self.params, self.state, b)
             losses.append(nll)
             sdzs.append(sd_z)
         return float(jnp.mean(jnp.stack(losses))), float(jnp.mean(jnp.stack(sdzs)))
@@ -332,7 +369,11 @@ class Trainer:
 
         Host batches are grouped into [k, B, ...] stacks (full groups only —
         a ragged tail or a batch-size change falls back to single steps, so
-        no extra scan programs compile)."""
+        no extra scan programs compile). Multi-process: each host stacks its
+        LOCAL shards and the [k, B_global, ...] arrays assemble without host
+        gathers (distributed.global_batch_stacked) — every host must feed the
+        same number of equally-sized batches (host_shard + drop_remainder +
+        the min-steps clamp in cli.train)."""
         keep = ("_x", "_y", "nlf0", "nlf1", "iso", "cam")
         losses, sdzs = [], []
 
@@ -340,7 +381,12 @@ class Trainer:
             if len(buf) == k:
                 stacked = {key: np.stack([np.asarray(b[key]) for b in buf])
                            for key in keep}
-                db = shard_batch_stacked(self.mesh, stacked)
+                if jax.process_count() > 1:
+                    from noise_flow_tpu.parallel.distributed import (
+                        global_batch_stacked)
+                    db = global_batch_stacked(self.mesh, stacked)
+                else:
+                    db = shard_batch_stacked(self.mesh, stacked)
                 (self.params, self.state, self.opt_state, nlls,
                  sds) = self._train_scan(self.params, self.state,
                                          self.opt_state, db)
@@ -356,16 +402,19 @@ class Trainer:
                     sdzs.append(jnp.reshape(sd_z, (1,)))
 
         buf = []
-        for mb in batches:
+        for mb in _timed_iter(batches, self.timers, "input"):
             if buf and mb["_x"].shape != buf[0]["_x"].shape:
-                flush(buf)
+                with self.timers.phase("step"):
+                    flush(buf)
                 buf = []
             buf.append(mb)
             if len(buf) == k:
-                flush(buf)
+                with self.timers.phase("step"):
+                    flush(buf)
                 buf = []
         if buf:
-            flush(buf)
+            with self.timers.phase("step"):
+                flush(buf)
         all_nll = jnp.concatenate(losses)
         all_sdz = jnp.concatenate(sdzs)
         return float(jnp.mean(all_nll)), float(jnp.mean(all_sdz))
@@ -473,6 +522,20 @@ class Trainer:
         train_time = 0.0
         history = {"train": [], "test": [], "sample": []}
 
+        # Ctrl-C: finish the current epoch, save a resumable checkpoint,
+        # close the TSV logs, and exit cleanly (ref:train_noise_flow.py:545-548
+        # traps KeyboardInterrupt for a clean exit; here it also checkpoints,
+        # so --continue_training picks up where the interrupt landed).
+        interrupted = {"flag": False}
+        prev_handler = None
+        in_main_thread = threading.current_thread() is threading.main_thread()
+        if in_main_thread:
+            def _on_sigint(signum, frame):
+                interrupted["flag"] = True
+                print("SIGINT: finishing epoch, saving checkpoint...",
+                      flush=True)
+            prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+
         for epoch in range(start_epoch, epochs + 1):
             do_test = (epoch < 10 or (epoch < 100 and epoch % 10 == 0)
                        or epoch % cfg.epochs_full_valid == 0)
@@ -512,6 +575,7 @@ class Trainer:
                     "KLD_NF": kld[2], "KLD_R": kld[3]})
 
             t0 = time.time()
+            self.timers.reset()
             tr_nll, tr_sdz = self.train_epoch(train_batches_fn())
             train_time += time.time() - t0
             history["train"].append(tr_nll)
@@ -520,7 +584,20 @@ class Trainer:
                               "sdz": tr_sdz, "train_time": int(train_time)})
             if verbose and do_test:
                 print(f"E={epoch} tL={tr_nll:9.1f} sL={history['test'][-1]:9.1f} "
-                      f"SDr={tr_sdz:.2f} B={is_best}", flush=True)
+                      f"SDr={tr_sdz:.2f} B={is_best} [{self.timers.line()}]",
+                      flush=True)
+            if is_chief and self.timers.totals:
+                # steady-state input-vs-step attribution artifact (the last
+                # epoch's split; overwritten each epoch)
+                with open(os.path.join(logdir, "phase_timers.txt"), "w") as f:
+                    f.write(f"epoch {epoch}: {self.timers.line()}\n")
+            if interrupted["flag"]:
+                if is_chief:
+                    save_checkpoint(ckpt_dir, epoch, self.params, self.state,
+                                    self.opt_state, epoch)
+                break
+        if in_main_thread:
+            signal.signal(signal.SIGINT, prev_handler)
         for lg in (train_logger, test_logger, sample_logger):
             lg.close()
         return history

@@ -212,9 +212,21 @@ class NoiseFlowWrapper:
         return out[:h, :w]
 
     # ------------------------------------------------------------ internals
+    _JIT_CACHE_MAX = 8
+
     def _get_jitted(self, shape: Tuple[int, ...], temp: float):
         key = (shape, temp)
         if key not in self._jitted:
+            if len(self._jitted) >= 1:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "sample_noise_nf: new (shape, temp) %s triggers a fresh "
+                    "compile (%d cached); batch callers should keep a fixed "
+                    "batch size", key, len(self._jitted))
+            if len(self._jitted) >= self._JIT_CACHE_MAX:
+                # FIFO eviction: a shape/temp sweep must not accumulate
+                # compiled programs without bound
+                self._jitted.pop(next(iter(self._jitted)))
             flow, train = self.flow, self.bn_batch_stats
 
             @jax.jit

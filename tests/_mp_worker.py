@@ -74,8 +74,17 @@ def main(pid: int, port: str):
         nll, sdz = trainer.train_epoch(iter(batches))
         nlls.append(nll)
     ev_nll, ev_sdz = trainer.eval_epoch(iter(batches[:1]))
+
+    # multi-host lax.scan multi-step dispatch (global_batch_stacked) must
+    # match step-per-call on the same global batches from the same init
+    tr_scan = Trainer(NoiseFlow((32, 32, 4), cfg), cfg, mesh=mesh)
+    scan_nll, _ = tr_scan.train_epoch(iter(batches), steps_per_call=3)
+    tr_step = Trainer(NoiseFlow((32, 32, 4), cfg), cfg, mesh=mesh)
+    step_nll, _ = tr_step.train_epoch(iter(batches), steps_per_call=1)
+
     print("RESULT" + json.dumps({
         "pid": pid, "nlls": nlls, "eval": ev_nll,
+        "scan_nll": scan_nll, "step_nll": step_nll,
         "sc_in_vr": stats["sc_in_vr"], "baselines": [g, s]}), flush=True)
 
 

@@ -313,6 +313,10 @@ def _oneshot_and_segment(arch, b, bt, seed=0):
     (ARCH, 16, 8),                     # multi-block accumulation
     ("unc|unc", 8, 8),                 # no scale layers
     ("sdn|unc|gain2|unc", 8, 8),       # other scale kinds (scalar-ldj gain)
+    # batch > 64 at the default-path block (_pick_block target=64): pins the
+    # ghost-BN semantics the Trainer's one-shot default actually runs there
+    # — two 64-blocks, NOT exact batch BN (see trainer.py block-size note)
+    ("sdn5|unc|gain4|unc", 128, 64),
 ])
 def test_oneshot_matches_segment_path(arch, b, bt):
     """FusedTrainStep == jax.value_and_grad of the custom_vjp segment path:

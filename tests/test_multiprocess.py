@@ -86,6 +86,15 @@ def test_two_process_equals_single_process(mp_results):
     np.testing.assert_allclose(r0["eval"], ref_eval, rtol=5e-5, atol=0.05)
 
 
+def test_two_process_scan_dispatch_equals_step(mp_results):
+    """The lax.scan multi-step dispatch under 2 processes
+    (global_batch_stacked) matches the step-per-call path — the b138
+    throughput win survives on a pod (VERDICT r3 item 7)."""
+    r0, r1 = mp_results
+    assert r0["scan_nll"] == pytest.approx(r1["scan_nll"], rel=1e-6)
+    assert r0["scan_nll"] == pytest.approx(r0["step_nll"], rel=1e-5)
+
+
 def test_cross_host_stats_and_baselines(mp_results):
     r0, r1 = mp_results
     # Welford merge across host shards must agree on both processes and match
