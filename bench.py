@@ -17,6 +17,39 @@ MFLOP/patch (8 couplings x 6 matmuls + 8 invertible-1x1), so
 SoL = peak_matmul_flops / flops_per_patch. vs_baseline ~ 1.0 means the fused
 chain saturates the MXU.
 
+Self-verification (VERDICT r3 item 1) — the tunneled chip is multi-tenant
+and its available rate drifts on day scale (the unchanged binary measured
+2.17-2.18M patches/s through round 2 and 1.83-1.86M all of round-3 day).
+So the bench now runs an in-process pure-MXU probe (fixed 4096^3 bf16
+matmul, known SoL) before and after the sampler windows and records it as
+`chip_probe_tflops`; `vs_baseline` stays the raw nominal-peak number, and
+`vs_baseline_probe` renormalizes by what the chip demonstrably sustained
+DURING this run — a reader can now tell "chip was busy" (probe low, ratio
+steady) from "code got slower" (probe steady, ratio down).
+
+FLOP accounting is reported both ways: the `*_padded` numbers count every
+entry of the 128x128 band matrices as useful (the MXU really does execute
+them), while `*_useful` scales by the measured nonzero fraction of the
+folded matrices (`useful_frac_*`) — the algorithmically necessary FLOPs.
+Measured on the published arch: useful_frac_sample 0.029, useful_frac_train
+0.025 — a width-4 flow occupies ~3% of a 128x128 systolic array, so
+mfu_useful ~0.016 (sampling) / ~0.010 (train) is the honest number. The
+padded decomposition still wins by 17x over the densest practical
+alternative (the fully-fused XLA graph, ~126k patches/s, whose small convs
+can't tile the MXU at all): it trades a 35x padded-FLOP blowup for keeping
+the whole 10-layer chain in VMEM at MXU rate. The "near the practical roof"
+claim is about padded utilization of THIS decomposition.
+
+First probe reading (2026-08-21, BENCH_r04): chip_probe 66.6-69.3 TFLOP/s
+vs 197 nominal — a plain dense bf16 matmul at 34% of peak proves heavy
+external tenancy on the shared chip; the sampler's raw vs_baseline 0.56
+(vs 0.65 in round 2) is explained by that, and vs_baseline_probe 1.6 shows
+the fused kernel retains its rate under contention BETTER than a dense
+matmul does (one long kernel per dispatch vs 20 interleavable calls), so
+probe-normalization is an upper bound. Read vs_baseline alongside the probe:
+probe at ~nominal + vs_baseline down => code regression; probe depressed =>
+tenancy.
+
 Where the remaining SoL gap lives (measured on TPU v5e by op-substitution and
 config sweeps, round 2): NOT in transcendentals, the in-kernel PRNG, or the
 select masks (each < 1%, measured by patching them out); the two lane-rolls
@@ -132,6 +165,49 @@ def bench_train(batch_size: int, use_pallas: bool, n_iter: int,
     return best
 
 
+def bench_chip_probe(n_iter: int = 20, windows: int = 3):
+    """Pure-MXU contention probe: fixed 4096x4096x4096 bf16 matmul
+    (137.4 GFLOP/call), best-of-windows TFLOP/s. Same dtype/shape class as
+    the kernels' matmuls; its known SoL on an uncontended v5e is ~197 TFLOP/s
+    bf16. Run in the SAME process right around the headline measurement so
+    the JSON records what the (shared) chip actually sustained."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    k0, k1 = jax.random.split(jax.random.PRNGKey(7))
+    a = jax.random.normal(k0, (n, n), jnp.bfloat16)
+    b = jax.random.normal(k1, (n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+    mm(a, b).block_until_ready()  # compile
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = mm(a, b)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        best = max(best, 2.0 * n * n * n * n_iter / dt)
+    return best / 1e12
+
+
+def _useful_frac(mat_stacks) -> float:
+    """Fraction of folded band-matrix entries that are nonzero — the
+    algorithmically necessary share of the padded matmul FLOPs (each stack
+    is a [n, ..., 128, 128] pile of per-matmul matrices over equal rows, so
+    entry-weighting == FLOP-weighting)."""
+    nnz = tot = 0
+    for m in mat_stacks:
+        arr = np.asarray(m)
+        nnz += int(np.count_nonzero(arr))
+        tot += arr.size
+    return nnz / max(tot, 1)
+
+
 def main():
     t_main = time.perf_counter()
     from noise_flow_tpu.utils.compilation_cache import enable_compilation_cache
@@ -175,6 +251,9 @@ def main():
         out = sampler(2 + i)
     out.block_until_ready()
 
+    # in-run contention probe, bracketing the headline windows
+    probe_pre = bench_chip_probe() if on_tpu else None
+
     # best of 5 windows: the tunneled chip is multi-tenant and shows
     # minute-scale load variance (2.18M vs 1.93M patches/s measured for the
     # same binary hours apart); the max window is the uncontended rate.
@@ -192,6 +271,9 @@ def main():
         dt = time.perf_counter() - t0
         samples_per_sec = max(samples_per_sec, batch * n_iter / dt)
 
+    probe_post = bench_chip_probe() if on_tpu else None
+    probe = max(p for p in (probe_pre, probe_post, 0.0) if p is not None)
+
     # --- speed-of-light: MXU-compute-bound -----------------------------
     # v2 folded chain per patch: 8 couplings x 6 matmuls [*,128]x[128,128]
     # + 8 mix matmuls, each over 32 rows/patch at 2*128*128 flops/row
@@ -202,6 +284,17 @@ def main():
         peak = 1e12  # CPU-ish; vs_baseline meaningless off-TPU
     sol = peak / flops_per_patch
     vs_baseline = samples_per_sec / sol
+    # probe-normalized: the same ratio against what the chip DEMONSTRABLY
+    # sustained during this run (tenancy-corrected). probe==peak => identical.
+    vs_baseline_probe = (samples_per_sec / (probe * 1e12 / flops_per_patch)
+                         if probe else None)
+    # measured nonzero fraction of the folded sampler matrices (the
+    # algorithmically necessary share of the padded matmul FLOPs)
+    useful_frac_sample = _useful_frac(
+        [program.mixes, program.m1as, program.m1bs, program.m2s,
+         program.m3s])
+    sample_mfu_padded = samples_per_sec * flops_per_patch / peak
+    sample_mfu_useful = sample_mfu_padded * useful_frac_sample
 
     # --- training throughput (VERDICT r1 item 3) ------------------------
     # Most-important case first: each case may cost a fresh Mosaic compile
@@ -264,15 +357,42 @@ def main():
     train_flops_per_patch = 4 * flops_per_patch
     best_tr = max((v for v in tr.values() if v), default=None)
     train_mfu = (best_tr * train_flops_per_patch / peak) if best_tr else None
+    # measured nonzero fraction of the one-shot train kernel's forward
+    # matrices (the backward reuses the same matrices transposed; the dense
+    # wgrad matmuls are genuinely useful, so this slightly UNDERstates the
+    # useful share of a train step)
+    useful_frac_train = None
+    try:
+        from noise_flow_tpu.ops.pallas_train import FusedTrainStep
+        fs = FusedTrainStep(flow, bt=8)
+        cond2 = {k: v[:2] for k, v in cond.items()}
+        cond2["clean"] = cond2["clean"].reshape(2, 32, 128)
+        mats, _, _, _, _ = fs._prep(params, state, cond2, 2)
+        useful_frac_train = _useful_frac(
+            [mats["mixes"], mats["m1s"], mats["m2s"], mats["m3s"]])
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# train useful-frac probe failed: {e!r}", flush=True)
+    train_mfu_useful = (train_mfu * useful_frac_train
+                        if train_mfu and useful_frac_train else None)
 
+    rnd = lambda v, n=4: (round(v, n) if v is not None else None)  # noqa: E731
     print(json.dumps({
         "metric": "noiseflow_fused_sample_throughput",
         "value": round(samples_per_sec, 1),
         "unit": "patches/s",
         "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline_probe": rnd(vs_baseline_probe),
+        "chip_probe_tflops": {"pre": rnd(probe_pre, 1),
+                              "post": rnd(probe_post, 1),
+                              "nominal_peak": peak / 1e12},
+        "sample_mfu_padded": rnd(sample_mfu_padded),
+        "sample_mfu_useful": rnd(sample_mfu_useful),
+        "useful_frac_sample": rnd(useful_frac_sample),
         "train_patches_per_sec": {k: (round(v, 1) if v else None)
                                   for k, v in tr.items()},
-        "train_mfu_best": round(train_mfu, 4) if train_mfu else None,
+        "train_mfu_best": rnd(train_mfu),
+        "train_mfu_useful": rnd(train_mfu_useful),
+        "useful_frac_train": rnd(useful_frac_train),
     }))
 
 
