@@ -142,6 +142,53 @@ def test_sampling_matches_nlf_stats(wrapper):
     assert abs(float(np.mean(noise))) < 0.25 * pred
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NLF_TABLE = os.path.join(REPO, "cam_iso_nlf.txt")
+
+
+def _nlf_rows():
+    from noise_flow_tpu.data.sidd import load_cam_iso_nlf
+    return sorted(load_cam_iso_nlf(_NLF_TABLE).items())
+
+
+@pytest.fixture(scope="module")
+def parity_grid(wrapper):
+    """15-cell (cam, ISO) grid vs the published checkpoint — computed once
+    (every row of ref:cam_iso_nlf.txt:1-16; VERDICT r3 item 2). The
+    committed artifact twin (bigger batch, real chip) lives in
+    experiments/ref_parity/."""
+    from noise_flow_tpu.analysis.ref_parity import grid_cell
+    rows = {}
+    for i, (cam_iso, (b1, b2)) in enumerate(_nlf_rows()):
+        rows[cam_iso] = grid_cell(wrapper, cam_iso, b1, b2, batch=64,
+                                  temp=1.0, seed=1000 + i)
+    return rows
+
+
+@pytest.mark.parametrize("cam_iso", [r[0] for r in _nlf_rows()])
+def test_parity_grid_cell(parity_grid, cam_iso):
+    """Sampled noise std within 2x of the camera NLF prediction and the
+    marginal KLD vs NLF noise small, for EVERY published (cam, ISO) cell —
+    the full-table distributional claim, not just the S6/100 anchor."""
+    row = parity_grid[cam_iso]
+    assert 0.5 < row["std_ratio"] < 2.0, row
+    assert abs(row["nf_mean"]) < 0.5 * row["pred_std"], row
+    # histogram KLD vs NLF-generated noise: small in absolute terms. The
+    # flow is NOT the NLF (it models real-noise departures from it), so the
+    # bar is "same distribution family/scale", not the sampling floor.
+    assert row["kld_nf_vs_nlf"] < 0.25, row
+
+
+def test_parity_grid_mean_kld(parity_grid):
+    """Across the 15 cells the mean KLD vs the NLF must be well under the
+    'different model' scale (the reference's own paper-reported per-model
+    KLD gaps are O(0.1); its NF-vs-real mean KLD is 0.0088)."""
+    klds = np.asarray([r["kld_nf_vs_nlf"] for r in parity_grid.values()])
+    ratios = np.asarray([r["std_ratio"] for r in parity_grid.values()])
+    assert float(np.mean(klds)) < 0.1, klds
+    assert 0.7 < float(np.mean(ratios)) < 1.4, ratios
+
+
 def test_roundtrip_through_npz(tmp_path, wrapper):
     """convert_reference_model writes a TF-free npz that reloads bit-exact."""
     from noise_flow_tpu.utils.tf_import import convert_reference_model
