@@ -74,6 +74,28 @@ case "$cfg" in
       --epochs_full_valid 20 --do_sample --use_pallas --steps_per_call 4 \
       --seed 0 --logdir experiments/sidd/converged_fused
     ;;
+  prod-synth-scale)  # VERDICT r4 item 3: production-shaped run, end to end.
+    # SIDD-scale dataset in the REAL on-disk format (78 scene instances,
+    # 5328x3000 Bayer, genuine v7.3 .MAT; all 15 (cam, ISO) NLF cells),
+    # decoded once into the npy cache, streamed by the C++ native loader,
+    # trained through the one-shot fused Pallas kernel at the reference
+    # batch (138) with 16-step lax.scan dispatch; PhaseTimers split in
+    # the logdir (phase_timers.txt) + KLD sweep after.
+    python experiments/sidd/make_sidd_scale.py
+    python train_noise_flow.py \
+      --arch "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc" --width 4 \
+      --lr 1e-4 --n_batch_train 138 --patch_height 32 --shuffle_patches \
+      --n_patches_per_image 2898 --epochs 150 --epochs_full_valid 10 \
+      --temp 0.6 --do_sample --use_pallas --steps_per_call 16 \
+      --cache_dir data/sidd_scale_cache --native_loader \
+      --sidd_path data/SIDD_Medium_Raw_synth/Data \
+      --logdir experiments/sidd/prod_synth_scale
+    python -m noise_flow_tpu.cli.kld_sweep \
+      --model_dir experiments/sidd/prod_synth_scale \
+      --sidd_path data/SIDD_Medium_Raw_synth/Data \
+      --temps 0.2,0.4,0.5,0.6,0.7,0.8,1.0 \
+      --logdir experiments/sidd/prod_synth_scale/kld_sweep
+    ;;
   kld-sweep)  # per-(cam,iso) marginal KLD vs temperature on a trained model
     python -m noise_flow_tpu.cli.kld_sweep \
       --model_dir experiments/sidd/published_fused \

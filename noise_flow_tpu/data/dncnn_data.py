@@ -54,12 +54,21 @@ def load_dncnn_data(
     max_images: int = 0,
     with_noisy: bool = False,
     batch_size: int = 128,
+    instance_ids: Optional[List[int]] = None,
 ) -> Tuple[np.ndarray, List[str], Optional[np.ndarray]]:
     """-> (clean_patches[N,32,32,4], cam_iso_info[N], noisy_patches|None)
     (ref:data_loader.py:178-298). Trailing remainder is dropped so every batch
-    is full (matters for BN, ref:train_dncnn_noiseflow.py:182-185)."""
+    is full (matters for BN, ref:train_dncnn_noiseflow.py:182-185).
+
+    instance_ids restricts to those scene instances (e.g.
+    sidd.TRAIN_INSTANCE_IDS, so a denoiser never trains on the scenes its
+    validation blocks come from)."""
     file_list = sorted(glob.glob(os.path.join(data_dir, "**", "*GT_RAW_010.MAT"),
                                  recursive=True))
+    if instance_ids is not None:
+        keep = {f"{i:04d}" for i in instance_ids}
+        file_list = [f for f in file_list
+                     if os.path.basename(f)[:4] in keep]
     if max_images:
         file_list = file_list[:max_images]
     if cam_iso_nlf_path:
