@@ -438,7 +438,7 @@ class Trainer:
         nlf_s6 = {100: 0.000479, 400: 0.001774, 800: 0.003696,
                   1600: 0.008211, 3200: 0.019930}
         losses, sdzs, klds = [], [], []
-        for mb in batches:
+        for bi, mb in enumerate(batches):
             mb = dict(mb)
             if fix_cam_iso:
                 b = mb["_x"].shape[0]
@@ -466,7 +466,11 @@ class Trainer:
                           for k, v in mb.items()}
                 else:
                     xs = np.asarray(x_sample)
-                klds.append(calc_kldiv_mb(mb, xs, sc_sd, vis_dir=vis_dir))
+                # .mat artifact dump only for the first batch: one
+                # representative set per epoch (a full-scale test split
+                # would otherwise write 11 files per sampled patch)
+                klds.append(calc_kldiv_mb(
+                    mb, xs, sc_sd, vis_dir=vis_dir if bi == 0 else None))
         kld = np.mean(np.stack(klds), axis=0) if klds else np.zeros(4)
         return (float(jnp.mean(jnp.stack(losses))),
                 float(jnp.mean(jnp.stack(sdzs))), kld)
