@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_bits_x", type=int, default=10)
     p.add_argument("--temp", type=float, default=1.0)
     p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--n_sample_batches", type=int, default=0,
+                   help="cap the per-epoch sampling-diagnostic phase to this"
+                        " many test batches (0 = all; the phase is host-"
+                        "bound, so cap it for full-scale test splits)")
     p.add_argument("--continue_training", action="store_true")
     # --- tpu extras ---
     p.add_argument("--mesh", type=int, default=0,

@@ -227,10 +227,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             ts.batches(bs_ts, drop_remainder=True, batch_scalar_cond=bsc),
             steps_ts)
 
+    sample_fn = None
+    if args.n_sample_batches:
+        sample_fn = lambda: limit(test_fn(), args.n_sample_batches)  # noqa: E731
+
     trainer.fit(
         train_fn, test_fn,
         cfg.logdir, epochs=cfg.epochs, nll_gauss=nll_gauss, nll_sdn=nll_sdn,
-        sc_sd=stats["sc_in_sd"], do_sampling=args.do_sample, verbose=True)
+        sc_sd=stats["sc_in_sd"], do_sampling=args.do_sample, verbose=True,
+        sample_batches_fn=sample_fn)
 
     total = time.time() - t_start
     with open(os.path.join(cfg.logdir, "total_time.txt"), "w") as f:

@@ -479,10 +479,17 @@ class Trainer:
     def fit(self, train_batches_fn, test_batches_fn, logdir: str,
             epochs: Optional[int] = None, nll_gauss: float = 0.0,
             nll_sdn: float = 0.0, sc_sd: float = 1.0,
-            do_sampling: bool = True, verbose: bool = True):
+            do_sampling: bool = True, verbose: bool = True,
+            sample_batches_fn=None):
         """Full epoch loop with the reference's test gating
         (ref:train_noise_flow.py:384-535). *_batches_fn are callables
-        returning fresh batch iterators per epoch."""
+        returning fresh batch iterators per epoch.
+
+        sample_batches_fn (default: test_batches_fn) feeds the per-epoch
+        sampling diagnostics only — at full SIDD scale the sample phase is
+        host-bound (D2H of every sampled batch + histogram KLDs), so
+        production runs cap it to a subset of test batches
+        (cli.train --n_sample_batches)."""
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         # multi-process: only process 0 writes checkpoints/logs; metrics are
@@ -569,7 +576,8 @@ class Trainer:
                     logdir, "samples_epoch_%04d" % epoch,
                     "samples_%.1f" % cfg.temp)
                 sm_nll, sm_sdz, kld = self.sample_epoch(
-                    test_batches_fn(), cfg.temp, k, sc_sd, vis_dir=vis_dir)
+                    (sample_batches_fn or test_batches_fn)(), cfg.temp, k,
+                    sc_sd, vis_dir=vis_dir)
                 history["sample"].append(sm_nll)
                 sample_logger.log({
                     "epoch": epoch, "NLL": sm_nll, "NLL_G": nll_gauss,
