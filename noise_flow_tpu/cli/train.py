@@ -111,16 +111,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr = load_split(args, cfg, "train")
     ts = load_split(args, cfg, "test")
     logging.info("train patches: %d, test patches: %d", len(tr), len(ts))
-    from noise_flow_tpu.parallel.distributed import (
-        global_baselines, global_scalar_stats)
-    stats = global_scalar_stats(tr.x, tr.y)
-    # clamp the baseline batch to the split size: with a tiny smoke split,
-    # drop_remainder at the full n_batch_test would yield ZERO batches and
-    # nan baseline columns in every log row
-    bs_base = min(cfg.n_batch_test, len(ts))
-    nll_gauss, nll_sdn = calc_baselines(
-        ts.batches(bs_base, drop_remainder=True), stats["sc_in_vr"])
-    nll_gauss, nll_sdn = global_baselines(nll_gauss, nll_sdn)
+    # host-side Welford + baselines over a full-scale split cost minutes;
+    # with --cache_dir (immutable decoded data) they are cached alongside it
+    stats_cache = (os.path.join(args.cache_dir, "pat_stats_baselines.npz")
+                   if args.cache_dir else None)
+    if stats_cache and os.path.exists(stats_cache):
+        z = np.load(stats_cache)
+        stats = {k: float(z[k]) for k in z.files
+                 if k not in ("nll_gauss", "nll_sdn")}
+        nll_gauss, nll_sdn = float(z["nll_gauss"]), float(z["nll_sdn"])
+        logging.info("stats+baselines from %s", stats_cache)
+    else:
+        from noise_flow_tpu.parallel.distributed import (
+            global_baselines, global_scalar_stats)
+        stats = global_scalar_stats(tr.x, tr.y)
+        # clamp the baseline batch to the split size: with a tiny smoke
+        # split, drop_remainder at the full n_batch_test would yield ZERO
+        # batches and nan baseline columns in every log row
+        bs_base = min(cfg.n_batch_test, len(ts))
+        nll_gauss, nll_sdn = calc_baselines(
+            ts.batches(bs_base, drop_remainder=True), stats["sc_in_vr"])
+        nll_gauss, nll_sdn = global_baselines(nll_gauss, nll_sdn)
+        if stats_cache:
+            np.savez(stats_cache, nll_gauss=nll_gauss, nll_sdn=nll_sdn,
+                     **stats)
     logging.info("baselines: NLL_G=%.3f NLL_SDN=%.3f", nll_gauss, nll_sdn)
 
     # --calc_*_only early exits (ref:Initialization.py:31-75 modes)

@@ -154,13 +154,28 @@ class DnCNNTrainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_state, new_opt, loss
 
+        def train_step_idx(params, state, opt_state, rng, clean_all,
+                           noisy_all, idx):
+            """Device-resident variant: the full train set lives in HBM and
+            each step gathers its batch by index on-device — per-step
+            host->device traffic is one [B] int32 vector instead of the
+            batch tensors (the tunnel's H2D latency made per-batch feeding
+            the bottleneck; the reference fed every batch through feed_dict,
+            ref:train_dncnn_noiseflow.py:297-300)."""
+            return train_step(params, state, opt_state, rng,
+                              jnp.take(clean_all, idx, axis=0),
+                              jnp.take(noisy_all, idx, axis=0))
+
         def denoise_step(params, state, noisy):
             out, _ = dncnn_apply(params, state, noisy, train=False,
                                  compute_dtype=cdt)
             return out
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._train_step_idx = jax.jit(train_step_idx,
+                                       donate_argnums=(0, 1, 2))
         self._denoise = jax.jit(denoise_step)
+        self._staged = None
 
     # ---------------------------------------------------------------- loops
     def set_lr(self, lr: float) -> None:
@@ -168,10 +183,33 @@ class DnCNNTrainer:
 
     def train_epoch(self, clean: np.ndarray, batch_size: int, rng,
                     noisy: Optional[np.ndarray] = None,
-                    shuffle_seed: int = 0) -> float:
+                    shuffle_seed: int = 0,
+                    device_resident: Optional[bool] = None) -> float:
+        """device_resident (default: auto — on for a single-device mesh)
+        stages the full clean/noisy sets in HBM once and feeds each step a
+        [B] int32 index vector; per-batch tensors never cross the host link
+        again. Falls back to per-batch sharding on multi-device meshes."""
+        if device_resident is None:
+            device_resident = self.mesh.size == 1
         n = (len(clean) // batch_size) * batch_size
         order = np.random.default_rng(shuffle_seed).permutation(len(clean))[:n]
         losses = []
+        if device_resident:
+            key = (id(clean), id(noisy))
+            if self._staged is None or self._staged[0] != key:
+                ca = jax.device_put(jnp.asarray(clean))
+                na = (jax.device_put(jnp.asarray(noisy))
+                      if noisy is not None else ca)  # same buffer, unused
+                self._staged = (key, ca, na)
+            _, ca, na = self._staged
+            for s in range(0, n, batch_size):
+                idx = jnp.asarray(order[s:s + batch_size], jnp.int32)
+                rng, k = jax.random.split(rng)
+                (self.params, self.state, self.opt_state,
+                 loss) = self._train_step_idx(self.params, self.state,
+                                              self.opt_state, k, ca, na, idx)
+                losses.append(loss)
+            return float(jnp.mean(jnp.stack(losses)))
         zeros = np.zeros((batch_size,) + clean.shape[1:], clean.dtype)
         for s in range(0, n, batch_size):
             idx = order[s:s + batch_size]

@@ -100,6 +100,32 @@ def test_dncnn_real_source_and_denoising_helps():
     assert psnr_out > psnr_in  # denoiser beats identity
 
 
+def test_dncnn_device_resident_matches_per_batch():
+    """HBM-staged training (index-gather per step, the tunnel-friendly
+    production path) follows the identical trajectory as per-batch
+    feeding, loss and params."""
+    from noise_flow_tpu.parallel.mesh import make_mesh
+    from noise_flow_tpu.training.dncnn_trainer import DnCNNTrainer
+
+    rng0 = np.random.default_rng(0)
+    clean = rng0.uniform(0.05, 0.9, (64, 32, 32, 4)).astype(np.float32)
+    noisy = np.clip(clean + 0.02 * rng0.standard_normal(clean.shape)
+                    .astype(np.float32), 0, 1)
+    outs = {}
+    for dev_res in (True, False):
+        tr = DnCNNTrainer(depth=4, filters=8, lr=1e-3, mesh=make_mesh(1),
+                          noise_source="real", seed=0)
+        k = jax.random.PRNGKey(5)
+        losses = [tr.train_epoch(clean, 32, k, noisy=noisy, shuffle_seed=1,
+                                 device_resident=dev_res) for _ in range(2)]
+        outs[dev_res] = (losses, tr.params)
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][1]),
+                    jax.tree_util.tree_leaves(outs[False][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dncnn_cli_end_to_end(tmp_path):
     from noise_flow_tpu.cli.test_dncnn import main as test_main
     from noise_flow_tpu.cli.train_dncnn import main as train_main
