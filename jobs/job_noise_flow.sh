@@ -85,9 +85,9 @@ case "$cfg" in
     python train_noise_flow.py \
       --arch "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc" --width 4 \
       --lr 1e-4 --n_batch_train 138 --patch_height 32 --shuffle_patches \
-      --n_patches_per_image 2898 --epochs 60 --epochs_full_valid 10 \
+      --n_patches_per_image 2898 --epochs 150 --epochs_full_valid 10 \
       --temp 0.6 --do_sample --n_sample_batches 24 \
-      --use_pallas --steps_per_call 16 \
+      --use_pallas --steps_per_call 16 --device_resident_data \
       --cache_dir data/sidd_scale_cache --native_loader \
       --sidd_path data/SIDD_Medium_Raw_synth/Data \
       --logdir experiments/sidd/prod_synth_scale

@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_bits_x", type=int, default=10)
     p.add_argument("--temp", type=float, default=1.0)
     p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--device_resident_data", action="store_true",
+                   help="stage the full train/test patch sets in HBM once "
+                        "(streamed through the input pipeline at startup) "
+                        "and train with on-device index gathers — removes "
+                        "the per-step host link (single device/process; "
+                        "needs per-example conditioning)")
     p.add_argument("--n_sample_batches", type=int, default=0,
                    help="cap the per-epoch sampling-diagnostic phase to this"
                         " many test batches (0 = all; the phase is host-"

@@ -245,6 +245,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.n_sample_batches:
         sample_fn = lambda: limit(test_fn(), args.n_sample_batches)  # noqa: E731
 
+    if args.device_resident_data:
+        if bsc:
+            raise SystemExit("--device_resident_data needs per-example "
+                             "conditioning (drop --batch_scalar_cond)")
+        t0 = time.time()
+        n_tr = trainer.stage_dataset(train_fn(), "train")
+        n_ts = trainer.stage_dataset(test_fn(), "test")
+        logging.info("staged %d train + %d test patches in HBM (%.1fs, "
+                     "input pipeline -> device once; epochs gather on "
+                     "device)", n_tr, n_ts, time.time() - t0)
+
     trainer.fit(
         train_fn, test_fn,
         cfg.logdir, epochs=cfg.epochs, nll_gauss=nll_gauss, nll_sdn=nll_sdn,

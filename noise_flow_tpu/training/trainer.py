@@ -310,10 +310,110 @@ class Trainer:
                 body, (params, state, opt_state), stacked)
             return p, s, o, nlls, sdzs
 
+        def train_scan_idx(params, state, opt_state, data, idxs):
+            """Device-resident variant: `data` is the FULL staged train set
+            in HBM ({_x,_y,nlf0,nlf1,iso,cam}, leading dim N); idxs [K, B]
+            int32 selects each step's batch by on-device gather. Per-call
+            host->device traffic is ~K*B*4 bytes instead of the batch
+            tensors — on a tunneled chip the per-flush H2D path both
+            throttled the epoch AND leaked its host staging buffers
+            (measured: RSS grows by exactly the bytes transferred)."""
+
+            def body(carry, idx):
+                batch = {kk: jnp.take(vv, idx, axis=0)
+                         for kk, vv in data.items()}
+                new = train_step(*carry, batch)
+                return new[:3], (new[3], new[4])
+
+            (p, s, o), (nlls, sdzs) = jax.lax.scan(
+                body, (params, state, opt_state), idxs)
+            return p, s, o, nlls, sdzs
+
+        def eval_scan_idx(params, state, data, idxs):
+            def body(carry, idx):
+                batch = {kk: jnp.take(vv, idx, axis=0)
+                         for kk, vv in data.items()}
+                return carry, eval_step(params, state, batch)
+
+            _, (nlls, sdzs) = jax.lax.scan(body, 0, idxs)
+            return nlls, sdzs
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._train_scan = jax.jit(train_scan, donate_argnums=(0, 1, 2))
+        self._train_scan_idx = jax.jit(train_scan_idx,
+                                       donate_argnums=(0, 1, 2))
+        self._eval_scan_idx = jax.jit(eval_scan_idx)
         self._eval_step = jax.jit(eval_step)
         self._sample_step = jax.jit(sample_step, static_argnums=(4,))
+
+    # ------------------------------------------------- device-resident data
+    _KEEP = ("_x", "_y", "nlf0", "nlf1", "iso", "cam")
+
+    def stage_dataset(self, batches: Iterable[Dict], split: str = "train"):
+        """Stream one pass of `batches` (e.g. the C++ native loader) and
+        stage the full set in HBM as one device-resident array per field.
+
+        TPU-native dataset residency: the SIDD train split's packed patches
+        (~10.6 GB f32) fit a v5e's HBM, so epochs afterwards feed each jitted
+        scan only [K, B] int32 index stacks and gather batches ON DEVICE.
+        This removes the per-step host link from the training loop entirely —
+        on a tunneled chip that link both throttled the epoch (~25x) and
+        leaked its host staging buffers. Single-device/single-process only
+        (pods shard the input per host instead). Returns the patch count."""
+        assert self.mesh.size == 1 and jax.process_count() == 1, (
+            "device-resident staging is single-device; shard inputs per "
+            "host on pods")
+        cols = {k: [] for k in self._KEEP}
+        for mb in batches:
+            for k in self._KEEP:
+                cols[k].append(np.asarray(mb[k]))
+        if not cols["_x"]:
+            raise ValueError("stage_dataset: empty batch stream")
+        host = {k: np.concatenate(v) for k, v in cols.items()}
+        dev = {k: jax.device_put(jnp.asarray(v)) for k, v in host.items()}
+        setattr(self, f"_staged_{split}", dev)
+        return host["_x"].shape[0]
+
+    def _train_epoch_staged(self, shuffle_seed: int):
+        data = self._staged_train
+        n = int(data["_x"].shape[0])
+        b = self.cfg.n_batch_train
+        k = max(int(getattr(self.cfg, "steps_per_call", 1)), 1)
+        order = np.random.default_rng(shuffle_seed).permutation(n)
+        nsteps = n // b
+        order = order[:nsteps * b].reshape(nsteps, b).astype(np.int32)
+        losses, sdzs = [], []
+        for s in range(0, nsteps - nsteps % k, k):
+            with self.timers.phase("step"):
+                idxs = jnp.asarray(order[s:s + k])
+                (self.params, self.state, self.opt_state, nlls,
+                 sds) = self._train_scan_idx(self.params, self.state,
+                                             self.opt_state, data, idxs)
+            losses.append(nlls)
+            sdzs.append(sds)
+        for s in range(nsteps - nsteps % k, nsteps):
+            with self.timers.phase("step"):
+                idx = jnp.asarray(order[s][None])
+                (self.params, self.state, self.opt_state, nlls,
+                 sds) = self._train_scan_idx(self.params, self.state,
+                                             self.opt_state, data, idx)
+            losses.append(nlls)
+            sdzs.append(sds)
+        return (float(jnp.mean(jnp.concatenate(losses))),
+                float(jnp.mean(jnp.concatenate(sdzs))))
+
+    def _eval_epoch_staged(self):
+        data = self._staged_test
+        n = int(data["_x"].shape[0])
+        b = self.cfg.n_batch_test
+        nsteps = n // b
+        idxs = jnp.asarray(
+            np.arange(nsteps * b, dtype=np.int32).reshape(nsteps, b))
+        nlls, sdzs = self._eval_scan_idx(self.params, self.state, data, idxs)
+        return float(jnp.mean(nlls)), float(jnp.mean(sdzs))
+
+    _staged_train = None
+    _staged_test = None
 
     # ---------------------------------------------------------------- loops
     def _put(self, mb: Dict) -> Dict:
@@ -552,7 +652,10 @@ class Trainer:
                        or epoch % cfg.epochs_full_valid == 0)
             is_best = 0
             if do_test:
-                ts_nll, ts_sdz = self.eval_epoch(test_batches_fn())
+                if self._staged_test is not None:
+                    ts_nll, ts_sdz = self._eval_epoch_staged()
+                else:
+                    ts_nll, ts_sdz = self.eval_epoch(test_batches_fn())
                 history["test"].append(ts_nll)
                 if is_chief:
                     save_checkpoint(ckpt_dir, epoch, self.params, self.state,
@@ -588,7 +691,10 @@ class Trainer:
 
             t0 = time.time()
             self.timers.reset()
-            tr_nll, tr_sdz = self.train_epoch(train_batches_fn())
+            if self._staged_train is not None:
+                tr_nll, tr_sdz = self._train_epoch_staged(cfg.seed + epoch)
+            else:
+                tr_nll, tr_sdz = self.train_epoch(train_batches_fn())
             train_time += time.time() - t0
             history["train"].append(tr_nll)
             train_logger.log({"epoch": epoch, "NLL": tr_nll,

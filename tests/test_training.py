@@ -172,6 +172,52 @@ def test_train_epoch_scan_equivalence(synth_data):
         t1.state, t2.state)
 
 
+def test_device_resident_staged_equivalence(synth_data):
+    """HBM-staged training (stage_dataset + on-device index gathers) must
+    follow the same trajectory as streaming the same batches host-side —
+    the identical permutation is forced by feeding pre-shuffled batches to
+    the streaming trainer and the matching index order to the staged one."""
+    tr, ts, ph = synth_data
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph,
+                         lr=1e-3, n_batch_train=16, optim="sgd",
+                         steps_per_call=2)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    mesh = make_mesh(1)
+    t1 = Trainer(flow, cfg, mesh)
+    t2 = Trainer(flow, cfg, mesh)
+
+    batches = list(tr.batches(16, drop_remainder=True))
+    n1 = t1.train_epoch(iter(batches), steps_per_call=2)
+
+    n = t2.stage_dataset(iter(batches), "train")
+    assert n == 16 * len(batches)
+    # staged epoch with the identity permutation == the streamed order
+    import numpy as _np
+    orig_perm = _np.random.default_rng
+    t2._train_epoch_staged.__func__  # noqa: B018 — sanity the attr exists
+
+    class _Ident:
+        def permutation(self, k):
+            return _np.arange(k)
+
+    _np.random.default_rng = lambda *a, **kw: _Ident()
+    try:
+        n2 = t2._train_epoch_staged(0)
+    finally:
+        _np.random.default_rng = orig_perm
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        t1.params, t2.params)
+    np.testing.assert_allclose(n1[0], n2[0], rtol=1e-6)
+
+    # staged eval == streamed eval over the same batches
+    t2.stage_dataset(ts.batches(16, drop_remainder=True), "test")
+    e1 = t1.eval_epoch(ts.batches(16, drop_remainder=True))
+    cfg.n_batch_test = 16
+    e2 = t2._eval_epoch_staged()
+    np.testing.assert_allclose(e1[0], e2[0], rtol=1e-5)
+
+
 def test_train_epoch_scan_ragged_tail(synth_data):
     """A batch count not divisible by steps_per_call falls back to single
     steps for the tail and still matches the sequential trajectory."""
