@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "and train with on-device index gathers — removes "
                         "the per-step host link (single device/process; "
                         "needs per-example conditioning)")
+    p.add_argument("--staged_test_patches", type=int, default=55200,
+                   help="with --device_resident_data, cap the HBM-staged "
+                        "test set to this many patches (the per-epoch test "
+                        "NLL is over this fixed deterministic subset; 0 = "
+                        "stage the full split — watch HBM)")
     p.add_argument("--n_sample_batches", type=int, default=0,
                    help="cap the per-epoch sampling-diagnostic phase to this"
                         " many test batches (0 = all; the phase is host-"

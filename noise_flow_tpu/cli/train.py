@@ -251,7 +251,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "conditioning (drop --batch_scalar_cond)")
         t0 = time.time()
         n_tr = trainer.stage_dataset(train_fn(), "train")
-        n_ts = trainer.stage_dataset(test_fn(), "test")
+        n_ts = trainer.stage_dataset(test_fn(), "test",
+                                     max_patches=args.staged_test_patches)
         logging.info("staged %d train + %d test patches in HBM (%.1fs, "
                      "input pipeline -> device once; epochs gather on "
                      "device)", n_tr, n_ts, time.time() - t0)

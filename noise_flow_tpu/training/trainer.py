@@ -320,8 +320,7 @@ class Trainer:
             (measured: RSS grows by exactly the bytes transferred)."""
 
             def body(carry, idx):
-                batch = {kk: jnp.take(vv, idx, axis=0)
-                         for kk, vv in data.items()}
+                batch = trainer._gather_staged(data, idx)
                 new = train_step(*carry, batch)
                 return new[:3], (new[3], new[4])
 
@@ -331,8 +330,7 @@ class Trainer:
 
         def eval_scan_idx(params, state, data, idxs):
             def body(carry, idx):
-                batch = {kk: jnp.take(vv, idx, axis=0)
-                         for kk, vv in data.items()}
+                batch = trainer._gather_staged(data, idx)
                 return carry, eval_step(params, state, batch)
 
             _, (nlls, sdzs) = jax.lax.scan(body, 0, idxs)
@@ -349,7 +347,8 @@ class Trainer:
     # ------------------------------------------------- device-resident data
     _KEEP = ("_x", "_y", "nlf0", "nlf1", "iso", "cam")
 
-    def stage_dataset(self, batches: Iterable[Dict], split: str = "train"):
+    def stage_dataset(self, batches: Iterable[Dict], split: str = "train",
+                      max_patches: int = 0):
         """Stream one pass of `batches` (e.g. the C++ native loader) and
         stage the full set in HBM as one device-resident array per field.
 
@@ -359,20 +358,48 @@ class Trainer:
         This removes the per-step host link from the training loop entirely —
         on a tunneled chip that link both throttled the epoch (~25x) and
         leaked its host staging buffers. Single-device/single-process only
-        (pods shard the input per host instead). Returns the patch count."""
+        (pods shard the input per host instead).
+
+        Patches are stored in the TILE-NATIVE packed layout [N, ph, ph*C]
+        (lane dim a multiple of 128 at ph=32): NHWC [.., 32, 4] arrays cost
+        a 4x lane-padding expansion in compiled TPU layouts, which OOM'd
+        HBM at this scale. max_patches>0 truncates the stream (bounds the
+        staged test set's HBM share). Returns the staged patch count."""
         assert self.mesh.size == 1 and jax.process_count() == 1, (
             "device-resident staging is single-device; shard inputs per "
             "host on pods")
         cols = {k: [] for k in self._KEEP}
+        n = 0
         for mb in batches:
             for k in self._KEEP:
                 cols[k].append(np.asarray(mb[k]))
+            n += len(cols["_x"][-1])
+            if max_patches and n >= max_patches:
+                break
         if not cols["_x"]:
             raise ValueError("stage_dataset: empty batch stream")
         host = {k: np.concatenate(v) for k, v in cols.items()}
+        if max_patches:
+            host = {k: v[:max_patches] for k, v in host.items()}
+        n, ph = host["_x"].shape[:2]
+        self._staged_shape = host["_x"].shape[1:]
+        for k in ("_x", "_y"):
+            host[k] = host[k].reshape(n, ph, -1)
         dev = {k: jax.device_put(jnp.asarray(v)) for k, v in host.items()}
         setattr(self, f"_staged_{split}", dev)
-        return host["_x"].shape[0]
+        return n
+
+    def _gather_staged(self, data: Dict, idx) -> Dict:
+        """On-device batch gather from a staged set. Images are stored
+        packed [N, ph, ph*C]; the fused kernels consume exactly that layout
+        (_pack_batch's reshape becomes a no-op), the XLA path gets the NHWC
+        view back (a [B]-sized transient, not a padded N-sized copy)."""
+        batch = {kk: jnp.take(vv, idx, axis=0) for kk, vv in data.items()}
+        if not self.use_fused:
+            b = batch["_x"].shape[0]
+            for k in ("_x", "_y"):
+                batch[k] = batch[k].reshape((b,) + tuple(self._staged_shape))
+        return batch
 
     def _train_epoch_staged(self, shuffle_seed: int):
         data = self._staged_train
