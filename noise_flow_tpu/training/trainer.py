@@ -426,8 +426,12 @@ class Trainer:
                                              self.opt_state, data, idx)
             losses.append(nlls)
             sdzs.append(sds)
-        return (float(jnp.mean(jnp.concatenate(losses))),
-                float(jnp.mean(jnp.concatenate(sdzs))))
+        # dispatch above is async; the device drains the queue here — charge
+        # it to its own phase so step= reads as dispatch, sync= as compute
+        with self.timers.phase("sync"):
+            out = (float(jnp.mean(jnp.concatenate(losses))),
+                   float(jnp.mean(jnp.concatenate(sdzs))))
+        return out
 
     def _eval_epoch_staged(self):
         data = self._staged_test
