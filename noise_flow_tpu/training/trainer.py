@@ -409,6 +409,13 @@ class Trainer:
         order = np.random.default_rng(shuffle_seed).permutation(n)
         nsteps = n // b
         order = order[:nsteps * b].reshape(nsteps, b).astype(np.int32)
+        if not self.trainable:
+            # condSDN-style non-trainable baseline: evaluate only, never
+            # step (ref:train_noise_flow.py:189)
+            with self.timers.phase("step"):
+                nlls, sdzs = self._eval_scan_idx(self.params, self.state,
+                                                 data, jnp.asarray(order))
+            return float(jnp.mean(nlls)), float(jnp.mean(sdzs))
         losses, sdzs = [], []
         for s in range(0, nsteps - nsteps % k, k):
             with self.timers.phase("step"):

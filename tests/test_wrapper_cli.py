@@ -90,6 +90,26 @@ def test_wrapper_spatial_frame_sampling(trained_dir):
     assert 0.0 < np.std(n8) < 1.0
 
 
+def test_train_cli_device_resident(tmp_path):
+    """--device_resident_data end-to-end: staged HBM training through the
+    CLI produces the same artifact set and a converging run (mesh must be
+    1 — staging is single-device)."""
+    logdir = str(tmp_path / "devres_run")
+    rc = train_main([
+        "--synthetic_data", "3", "--epochs", "8", "--patch_height", "16",
+        "--n_batch_train", "16", "--n_batch_test", "16", "--lr", "1e-2",
+        "--arch", "sdn5|unc|gain4|unc", "--width", "4", "--mesh", "1",
+        "--steps_per_call", "2", "--device_resident_data",
+        "--epochs_full_valid", "4", "--logdir", logdir,
+    ])
+    assert rc == 0
+    for fn in ("train.txt", "test.txt"):
+        assert os.path.exists(os.path.join(logdir, fn)), fn
+    rows = open(os.path.join(logdir, "train.txt")).read().splitlines()
+    first, last = float(rows[1].split("\t")[1]), float(rows[-1].split("\t")[1])
+    assert last < first  # NLL falls
+
+
 def test_kld_sweep_cli(trained_dir, tmp_path):
     """KLD-vs-temperature sweep CLI end-to-end: per-(cam, iso) TSV rows with
     finite KLDs for every requested temperature (BASELINE config 4)."""
