@@ -4,6 +4,32 @@ Keeps the reference's flag names (ref:sidd/ArgParser.py:11-167) so the
 canonical run commands (ref:job_noise_flow.sh:35-75) work verbatim, and maps
 them onto the typed Config. TPU-specific extras (mesh shape, dtype, pallas)
 are additive.
+
+Flag diff vs ref:sidd/ArgParser.py:11-167 — reference flags intentionally
+NOT exposed here, each dead or meaningless under the TPU runtime:
+  * dead in the reference itself (parsed, never read by any code path —
+    verified `grep hps.<flag>` over the reference tree): --dal,
+    --epochs_warmup, --model, --full-conv, --weight_y, --learntop, --ycond,
+    --noise_baseline, --cond_gt, --reload_freq, --n_reuse_batch,
+    --split_observations, --num_gpus, --init_sdn, --visualize,
+    --visualize_only, --vis_samples, --copy_stats, --visualize_last_epoch,
+    --sample_subdir, --load_batches, --fcsize, --mb_qsize, --collect_vars,
+    --pre_init
+  * CLI value dead because the reference overwrites it before any read:
+    --n_train / --n_test (recomputed, ref:sidd/sidd_utils.py:71-72),
+    --mb_requeue (forced True, ref:train_noise_flow.py:272),
+    --save_batches (its one consumer is commented out,
+    ref:train_noise_flow.py:277)
+  * hogwild/TF-1 pipeline knobs with no analogue in a jitted
+    single-controller step — their function is subsumed by --mesh,
+    --steps_per_call and the C++ native loader: --n_train_threads,
+    --n_reuse_image
+  * environment-specific path remaps subsumed by --logdir/--sidd_path taking
+    full paths: --problem (logdir prefix, ref:train_noise_flow.py:250),
+    --server ('skynet' cluster remap, ref:sidd/sidd_utils.py:44)
+--epochs_full_sample / --sample_epoch_start / --sample_epoch_end are parsed
+and recorded by the reference but consumed nowhere in its code (their only
+surface is the hps.txt dump); they are accepted + recorded here identically.
 """
 
 from __future__ import annotations
@@ -42,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sidd_cond", type=str, default="mix",
                    help="legacy revnet2d conditioning "
                         "(uncond|condY|condYG|condXY|condXYG|condSDN|fitSDN|mix)")
+    p.add_argument("--gain_init", type=float, default=-5.0,
+                   help="initial value for gain parameters "
+                        "(ref:ArgParser.py:162; feeds sdn2/sdn3/gain2 inits)")
     p.add_argument("--append_sdn", action="store_true")
     p.add_argument("--append_sdn2", action="store_true")
     p.add_argument("--append_sdn_first", action="store_true")
@@ -98,6 +127,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_batch_test", type=int, default=138)
     p.add_argument("--epochs", type=int, default=2000)
     p.add_argument("--epochs_full_valid", type=int, default=30)
+    # accepted + recorded for hps.txt/command-line round-trip parity; dead in
+    # the reference too (see module docstring)
+    p.add_argument("--epochs_full_sample", type=int, default=50,
+                   help="recorded only (dead in the reference as well, "
+                        "ref:ArgParser.py:53)")
+    p.add_argument("--sample_epoch_start", type=int, default=None,
+                   help="recorded only (dead in the reference as well, "
+                        "ref:ArgParser.py:132)")
+    p.add_argument("--sample_epoch_end", type=int, default=None,
+                   help="recorded only (dead in the reference as well, "
+                        "ref:ArgParser.py:134)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--optim", type=str, default="adam", choices=("adam", "sgd"))
     p.add_argument("--seed", type=int, default=0)

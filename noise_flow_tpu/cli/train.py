@@ -115,10 +115,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     # with --cache_dir (immutable decoded data) they are cached alongside it
     stats_cache = (os.path.join(args.cache_dir, "pat_stats_baselines.npz")
                    if args.cache_dir else None)
+    # cached stats depend on the patch-extraction config, not just the cache
+    # dir: re-running with different extraction args (or a regenerated
+    # dataset) must recompute, not silently load stale sc_sd/baselines
+    fingerprint = repr((len(tr), len(ts), cfg.patch_height,
+                        cfg.n_patches_per_image, cfg.patch_sampling,
+                        min(cfg.n_batch_test, len(ts)), cfg.camera, cfg.iso,
+                        args.shuffle_patches, cfg.seed))
+    cached = None
     if stats_cache and os.path.exists(stats_cache):
         z = np.load(stats_cache)
+        if "fingerprint" in z.files and str(z["fingerprint"]) == fingerprint:
+            cached = z
+        else:
+            logging.info("stats cache %s fingerprint mismatch "
+                         "(extraction config changed) — recomputing",
+                         stats_cache)
+    if cached is not None:
+        z = cached
         stats = {k: float(z[k]) for k in z.files
-                 if k not in ("nll_gauss", "nll_sdn")}
+                 if k not in ("nll_gauss", "nll_sdn", "fingerprint")}
         nll_gauss, nll_sdn = float(z["nll_gauss"]), float(z["nll_sdn"])
         logging.info("stats+baselines from %s", stats_cache)
     else:
@@ -134,7 +150,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         nll_gauss, nll_sdn = global_baselines(nll_gauss, nll_sdn)
         if stats_cache:
             np.savez(stats_cache, nll_gauss=nll_gauss, nll_sdn=nll_sdn,
-                     **stats)
+                     fingerprint=fingerprint, **stats)
     logging.info("baselines: NLL_G=%.3f NLL_SDN=%.3f", nll_gauss, nll_sdn)
 
     # --calc_*_only early exits (ref:Initialization.py:31-75 modes)

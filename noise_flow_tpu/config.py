@@ -69,6 +69,13 @@ class Config:
     n_batch_test: int = 138
     epochs: int = 2000
     epochs_full_valid: int = 30
+    # Parsed and recorded by the reference but consumed nowhere in its code
+    # (ref:sidd/ArgParser.py:53,132-134 — their only downstream surface is
+    # the models/NoiseFlow/hps.txt dump). Accepted + dumped here identically
+    # so canonical command lines and hps.txt files round-trip verbatim.
+    epochs_full_sample: int = 50
+    sample_epoch_start: Optional[int] = None
+    sample_epoch_end: Optional[int] = None
     lr: float = 1e-4
     optim: str = "adam"                  # adam | sgd
     seed: int = 0

@@ -35,6 +35,19 @@ from noise_flow_tpu.utils.checkpoint import (
 )
 from noise_flow_tpu.utils.image_metrics import psnr as psnr_metric
 
+def _stage_key(a: Optional[np.ndarray]):
+    """Cheap identity for a host array staged to HBM: shape + dtype + a hash
+    of a strided sample (first/last rows of every len//8-th image). Detects
+    both a different array reusing a GC'd id() and in-place edits to the
+    same buffer, without hashing gigabytes."""
+    if a is None:
+        return None
+    a = np.asarray(a)
+    step = max(1, len(a) // 8)
+    sample = np.ascontiguousarray(a[::step, :2])
+    return (a.shape, str(a.dtype), hash(sample.tobytes()))
+
+
 # Gaussian sigma (in [0,255]) and camera NLF ranges estimated from SIDD
 # (ref:train_dncnn_noiseflow.py:33-36)
 MIN_EST_SIGMA = 0.24186
@@ -195,7 +208,10 @@ class DnCNNTrainer:
         order = np.random.default_rng(shuffle_seed).permutation(len(clean))[:n]
         losses = []
         if device_resident:
-            key = (id(clean), id(noisy))
+            # NOT id()-keyed: id() values recycle after GC, and in-place
+            # mutation of the same array would go undetected — key on shape/
+            # dtype plus a cheap strided content hash instead
+            key = (_stage_key(clean), _stage_key(noisy))
             if self._staged is None or self._staged[0] != key:
                 ca = jax.device_put(jnp.asarray(clean))
                 na = (jax.device_put(jnp.asarray(noisy))

@@ -148,6 +148,13 @@ class Trainer:
                     pass
         self._build_steps()
 
+    # Distinct kernel-block sizes a Trainer keeps alive at once. The fused/
+    # one-shot builder dicts FIFO-evict past this, like wrapper._jitted; the
+    # compiled Mosaic executables themselves live in the outer jitted steps'
+    # caches (keyed by batch shape), so eviction also clears those — a
+    # batch-size sweep can no longer accumulate executables without bound.
+    _KERNEL_CACHE_MAX = 4
+
     def _warn_new_kernel(self, cache, bt: int, what: str):
         """Each new block size means a fresh multi-minute Mosaic compile over
         a tunneled chip — make that visible instead of silent (a batch-size
@@ -157,6 +164,17 @@ class Trainer:
                 "%s: new kernel block bt=%d (known: %s) — unseen batch "
                 "divisor triggers a fresh Pallas compile; keep batch sizes "
                 "block-aligned to avoid this", what, bt, sorted(cache))
+        if len(cache) >= self._KERNEL_CACHE_MAX:
+            evicted = next(iter(cache))
+            cache.pop(evicted)
+            logging.getLogger(__name__).warning(
+                "%s: kernel cache full (max %d) — evicting bt=%d and "
+                "clearing compiled step caches", what,
+                self._KERNEL_CACHE_MAX, evicted)
+            for fn in (self._train_step, self._train_scan,
+                       self._train_scan_idx, self._eval_scan_idx,
+                       self._eval_step):
+                fn.clear_cache()
 
     def _fused_for_batch(self, b: int):
         bt = _pick_block(b)
@@ -408,6 +426,10 @@ class Trainer:
         k = max(int(getattr(self.cfg, "steps_per_call", 1)), 1)
         order = np.random.default_rng(shuffle_seed).permutation(n)
         nsteps = n // b
+        if nsteps == 0:
+            raise ValueError(
+                f"staged train set has {n} patches < n_batch_train={b}; "
+                "stage more patches or lower the batch size")
         order = order[:nsteps * b].reshape(nsteps, b).astype(np.int32)
         if not self.trainable:
             # condSDN-style non-trainable baseline: evaluate only, never
@@ -445,6 +467,10 @@ class Trainer:
         n = int(data["_x"].shape[0])
         b = self.cfg.n_batch_test
         nsteps = n // b
+        if nsteps == 0:
+            raise ValueError(
+                f"staged test set has {n} patches < n_batch_test={b}; "
+                "stage more patches or lower the batch size")
         idxs = jnp.asarray(
             np.arange(nsteps * b, dtype=np.int32).reshape(nsteps, b))
         nlls, sdzs = self._eval_scan_idx(self.params, self.state, data, idxs)
@@ -685,75 +711,80 @@ class Trainer:
                       flush=True)
             prev_handler = signal.signal(signal.SIGINT, _on_sigint)
 
-        for epoch in range(start_epoch, epochs + 1):
-            do_test = (epoch < 10 or (epoch < 100 and epoch % 10 == 0)
-                       or epoch % cfg.epochs_full_valid == 0)
-            is_best = 0
-            if do_test:
-                if self._staged_test is not None:
-                    ts_nll, ts_sdz = self._eval_epoch_staged()
-                else:
-                    ts_nll, ts_sdz = self.eval_epoch(test_batches_fn())
-                history["test"].append(ts_nll)
-                if is_chief:
-                    save_checkpoint(ckpt_dir, epoch, self.params, self.state,
-                                    self.opt_state, epoch)
-                if ts_nll < best_nll:
-                    best_nll = ts_nll
+        try:
+            for epoch in range(start_epoch, epochs + 1):
+                do_test = (epoch < 10 or (epoch < 100 and epoch % 10 == 0)
+                           or epoch % cfg.epochs_full_valid == 0)
+                is_best = 0
+                if do_test:
+                    if self._staged_test is not None:
+                        ts_nll, ts_sdz = self._eval_epoch_staged()
+                    else:
+                        ts_nll, ts_sdz = self.eval_epoch(test_batches_fn())
+                    history["test"].append(ts_nll)
                     if is_chief:
-                        save_checkpoint(ckpt_dir, "best", self.params,
-                                        self.state, self.opt_state, epoch)
-                    is_best = 1
-                test_logger.log({"epoch": epoch, "NLL": ts_nll,
-                                 "NLL_G": nll_gauss, "NLL_SDN": nll_sdn,
-                                 "sdz": ts_sdz, "msg": is_best})
+                        save_checkpoint(ckpt_dir, epoch, self.params, self.state,
+                                        self.opt_state, epoch)
+                    if ts_nll < best_nll:
+                        best_nll = ts_nll
+                        if is_chief:
+                            save_checkpoint(ckpt_dir, "best", self.params,
+                                            self.state, self.opt_state, epoch)
+                        is_best = 1
+                    test_logger.log({"epoch": epoch, "NLL": ts_nll,
+                                     "NLL_G": nll_gauss, "NLL_SDN": nll_sdn,
+                                     "sdz": ts_sdz, "msg": is_best})
 
-            if do_sampling and do_test:
+                if do_sampling and do_test:
+                    t0 = time.time()
+                    rng, k = jax.random.split(rng)
+                    # per-epoch sample visualization artifacts
+                    # (ref:train_noise_flow.py:176-177)
+                    vis_dir = os.path.join(
+                        logdir, "samples_epoch_%04d" % epoch,
+                        "samples_%.1f" % cfg.temp)
+                    sm_nll, sm_sdz, kld = self.sample_epoch(
+                        (sample_batches_fn or test_batches_fn)(), cfg.temp, k,
+                        sc_sd, vis_dir=vis_dir)
+                    history["sample"].append(sm_nll)
+                    sample_logger.log({
+                        "epoch": epoch, "NLL": sm_nll, "NLL_G": nll_gauss,
+                        "NLL_SDN": nll_sdn, "sdz": sm_sdz,
+                        "sample_time": time.time() - t0,
+                        "KLD_G": kld[0], "KLD_NLF": kld[1],
+                        "KLD_NF": kld[2], "KLD_R": kld[3]})
+
                 t0 = time.time()
-                rng, k = jax.random.split(rng)
-                # per-epoch sample visualization artifacts
-                # (ref:train_noise_flow.py:176-177)
-                vis_dir = os.path.join(
-                    logdir, "samples_epoch_%04d" % epoch,
-                    "samples_%.1f" % cfg.temp)
-                sm_nll, sm_sdz, kld = self.sample_epoch(
-                    (sample_batches_fn or test_batches_fn)(), cfg.temp, k,
-                    sc_sd, vis_dir=vis_dir)
-                history["sample"].append(sm_nll)
-                sample_logger.log({
-                    "epoch": epoch, "NLL": sm_nll, "NLL_G": nll_gauss,
-                    "NLL_SDN": nll_sdn, "sdz": sm_sdz,
-                    "sample_time": time.time() - t0,
-                    "KLD_G": kld[0], "KLD_NLF": kld[1],
-                    "KLD_NF": kld[2], "KLD_R": kld[3]})
-
-            t0 = time.time()
-            self.timers.reset()
-            if self._staged_train is not None:
-                tr_nll, tr_sdz = self._train_epoch_staged(cfg.seed + epoch)
-            else:
-                tr_nll, tr_sdz = self.train_epoch(train_batches_fn())
-            train_time += time.time() - t0
-            history["train"].append(tr_nll)
-            train_logger.log({"epoch": epoch, "NLL": tr_nll,
-                              "NLL_G": nll_gauss, "NLL_SDN": nll_sdn,
-                              "sdz": tr_sdz, "train_time": int(train_time)})
-            if verbose and do_test:
-                print(f"E={epoch} tL={tr_nll:9.1f} sL={history['test'][-1]:9.1f} "
-                      f"SDr={tr_sdz:.2f} B={is_best} [{self.timers.line()}]",
-                      flush=True)
-            if is_chief and self.timers.totals:
-                # steady-state input-vs-step attribution artifact (the last
-                # epoch's split; overwritten each epoch)
-                with open(os.path.join(logdir, "phase_timers.txt"), "w") as f:
-                    f.write(f"epoch {epoch}: {self.timers.line()}\n")
-            if interrupted["flag"]:
-                if is_chief:
-                    save_checkpoint(ckpt_dir, epoch, self.params, self.state,
-                                    self.opt_state, epoch)
-                break
-        if in_main_thread:
-            signal.signal(signal.SIGINT, prev_handler)
-        for lg in (train_logger, test_logger, sample_logger):
-            lg.close()
+                self.timers.reset()
+                if self._staged_train is not None:
+                    tr_nll, tr_sdz = self._train_epoch_staged(cfg.seed + epoch)
+                else:
+                    tr_nll, tr_sdz = self.train_epoch(train_batches_fn())
+                train_time += time.time() - t0
+                history["train"].append(tr_nll)
+                train_logger.log({"epoch": epoch, "NLL": tr_nll,
+                                  "NLL_G": nll_gauss, "NLL_SDN": nll_sdn,
+                                  "sdz": tr_sdz, "train_time": int(train_time)})
+                if verbose and do_test:
+                    print(f"E={epoch} tL={tr_nll:9.1f} sL={history['test'][-1]:9.1f} "
+                          f"SDr={tr_sdz:.2f} B={is_best} [{self.timers.line()}]",
+                          flush=True)
+                if is_chief and self.timers.totals:
+                    # steady-state input-vs-step attribution artifact (the last
+                    # epoch's split; overwritten each epoch)
+                    with open(os.path.join(logdir, "phase_timers.txt"), "w") as f:
+                        f.write(f"epoch {epoch}: {self.timers.line()}\n")
+                if interrupted["flag"]:
+                    if is_chief:
+                        save_checkpoint(ckpt_dir, epoch, self.params, self.state,
+                                        self.opt_state, epoch)
+                    break
+        finally:
+            # restore Ctrl-C semantics and flush the TSV logs even when an
+            # exception escapes mid-fit (multi-run drivers keep a working
+            # KeyboardInterrupt afterwards)
+            if in_main_thread:
+                signal.signal(signal.SIGINT, prev_handler)
+            for lg in (train_logger, test_logger, sample_logger):
+                lg.close()
         return history

@@ -172,3 +172,20 @@ def test_dncnn_nf_source(tmp_path):
                            noise_flow=(nf.flow, nf.params, nf.state))
     loss = trainer.train_epoch(clean, 16, jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_stage_key_detects_change():
+    """Advisor r4 (low): HBM staging cache keys on content, not id() —
+    a recycled id or an in-place edit must restage."""
+    from noise_flow_tpu.training.dncnn_trainer import _stage_key
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(16, 8, 8)).astype(np.float32)
+    k1 = _stage_key(a)
+    assert k1 == _stage_key(a.copy())  # content-identical -> same key
+    b = a.copy()
+    b[0, 0, 0] += 1.0  # in-place edit in the sampled region
+    assert _stage_key(b) != k1
+    c = rng.uniform(size=(16, 8, 8)).astype(np.float32)
+    assert _stage_key(c) != k1
+    assert _stage_key(None) is None

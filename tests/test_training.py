@@ -235,3 +235,45 @@ def test_train_epoch_scan_ragged_tail(synth_data):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
         t1.params, t2.params)
     np.testing.assert_allclose(n1[0], n2[0], rtol=1e-6)
+
+
+def test_kernel_cache_bounded():
+    """VERDICT r4 item 7: a batch-size sweep cannot grow the fused/one-shot
+    kernel caches past _KERNEL_CACHE_MAX (FIFO eviction + compiled-step cache
+    clear, like wrapper._jitted)."""
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=32,
+                         use_pallas=True)
+    flow = NoiseFlow((32, 32, 4), cfg)
+    trainer = Trainer(flow, cfg, make_mesh(1))
+    assert trainer.use_fused
+    for b in (3, 5, 7, 11, 13, 17, 19, 23):  # 8 distinct block sizes
+        trainer._step_for_batch(b)
+        trainer._fused_for_batch(b)
+        assert len(trainer._step_cache) <= trainer._KERNEL_CACHE_MAX
+        assert len(trainer._fused_cache) <= trainer._KERNEL_CACHE_MAX
+    # newest entries survive, oldest evicted (FIFO)
+    assert 23 in trainer._step_cache and 3 not in trainer._step_cache
+
+
+def test_staged_smaller_than_batch_raises():
+    """Advisor r4 (low): a staged set smaller than the batch size must fail
+    with a clear error, not an opaque empty-concatenate."""
+    ph = 16
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph,
+                         n_batch_train=64, n_batch_test=64)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    trainer = Trainer(flow, cfg, make_mesh(1))
+    rng = np.random.default_rng(0)
+    mb = {"_x": rng.normal(size=(8, ph, ph, 4)).astype(np.float32),
+          "_y": rng.uniform(0.1, 0.9, (8, ph, ph, 4)).astype(np.float32),
+          "nlf0": np.full((8,), 5e-4, np.float32),
+          "nlf1": np.full((8,), 2e-6, np.float32),
+          "iso": np.full((8,), 100.0, np.float32),
+          "cam": np.full((8,), 2.0, np.float32)}
+    n = trainer.stage_dataset([mb], "train")
+    trainer.stage_dataset([mb], "test")
+    assert n == 8
+    with pytest.raises(ValueError, match="staged train set"):
+        trainer._train_epoch_staged(0)
+    with pytest.raises(ValueError, match="staged test set"):
+        trainer._eval_epoch_staged()
