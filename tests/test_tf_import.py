@@ -111,6 +111,9 @@ def _nlf_batch(b=64, seed=0):
 # against any silent regression in layers/import/conversion. Backend matmul
 # modes differ (CPU f32: -12577.1; TPU default bf16 convs: -12585.8), hence
 # the window — real import/layer regressions move this by hundreds of nats.
+# No longer self-referential: the standalone numpy oracle
+# (verification/oracle_nll.py, tests/test_oracle_nll.py) independently
+# reproduces the CPU value to 9e-9 relative from the raw checkpoint.
 GOLDEN_NLL = -12581.5
 GOLDEN_TOL = 10.0
 
