@@ -157,8 +157,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "stage the full split — watch HBM)")
     p.add_argument("--n_sample_batches", type=int, default=0,
                    help="cap the per-epoch sampling-diagnostic phase to this"
-                        " many test batches (0 = all; the phase is host-"
-                        "bound, so cap it for full-scale test splits)")
+                        " many test batches (0 = all; with the on-device "
+                        "KLD path the phase streams scalars only, so "
+                        "full-scale splits no longer need a cap)")
     p.add_argument("--continue_training", action="store_true")
     # --- tpu extras ---
     p.add_argument("--mesh", type=int, default=0,

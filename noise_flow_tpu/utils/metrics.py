@@ -166,6 +166,49 @@ def calc_kldiv_mb(mb: Dict, x_samples: np.ndarray, sc_sd: float,
     return klds / max(cnt, 1)
 
 
+def kldiv_batch_jax(ng, nl, ns, n, step: int = 5):
+    """On-device twin of `calc_kldiv_mb`'s KLD math: per-patch marginal KLD
+    of the four noise stacks (Gaussian, camera-NLF, NoiseFlow sample, real)
+    against the real noise, over every `step`-th patch, using the reference
+    bin edges (ref:sidd_utils.py:995-1058,1266-1274).
+
+    Takes the noise tensors as inputs (generation stays with the caller) so
+    the histogram/KLD math is directly parity-testable against the numpy
+    path on identical arrays. Returns (sum_klds[4], n_patches) — SUMS, not
+    means, so shards psum and batches accumulate exactly like the
+    reference's mean-of-per-patch-KLDs (equal batch sizes).
+
+    Histogramming note: values are clipped into the outer catch-all bins
+    (edges at ±1000) instead of dropped like np.histogram — identical for
+    any physical noise value.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    edges = jnp.asarray(NOISE_BIN_EDGES)
+    nb = edges.shape[0] - 1
+
+    def hist(vals):
+        idx = jnp.clip(
+            jnp.searchsorted(edges, vals.reshape(-1), side="right") - 1,
+            0, nb - 1)
+        counts = jnp.zeros((nb,)).at[idx].add(1.0)
+        return counts / vals.size
+
+    def patch_klds(g_i, l_i, s_i, n_i):
+        hn = hist(n_i)
+        outs = []
+        for h in (hist(g_i), hist(l_i), hist(s_i), hn):
+            mask = (hn > 0) & (h > 0)
+            ratio = jnp.where(mask, hn / jnp.where(h > 0, h, 1.0), 1.0)
+            outs.append(jnp.sum(jnp.where(mask, hn * jnp.log(ratio), 0.0)))
+        return jnp.stack(outs)
+
+    sel = slice(None, None, step)
+    klds = jax.vmap(patch_klds)(ng[sel], nl[sel], ns[sel], n[sel])
+    return jnp.sum(klds, axis=0), klds.shape[0]
+
+
 def marginal_kld_jax(real, synth, left=-0.1, right=0.1, n_bins=64):
     """On-device forward KLD between two noise tensors' marginals.
 

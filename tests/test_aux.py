@@ -173,3 +173,34 @@ def test_compare_figures(tmp_path):
     import os
     for p in (p1, p2, p3):
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_kldiv_batch_jax_matches_numpy():
+    """On-device KLD histogram math (kldiv_batch_jax) reproduces the numpy
+    reference path (get_histogram + kl_div_forward over every 5th patch)
+    exactly, given identical noise arrays (VERDICT r4 item 4 parity)."""
+    import jax.numpy as jnp
+
+    from noise_flow_tpu.utils.metrics import (
+        NOISE_BIN_EDGES, get_histogram, kl_div_forward, kldiv_batch_jax)
+
+    rng = np.random.default_rng(3)
+    shape = (12, 8, 8, 4)
+    ng = rng.normal(0, 0.02, shape).astype(np.float32)
+    nl = rng.normal(0, 0.01, shape).astype(np.float32)
+    ns = rng.normal(0, 0.015, shape).astype(np.float32)
+    n = rng.normal(0, 0.012, shape).astype(np.float32)
+
+    sums, cnt = kldiv_batch_jax(jnp.asarray(ng), jnp.asarray(nl),
+                                jnp.asarray(ns), jnp.asarray(n))
+    want = np.zeros(4)
+    idxs = range(0, shape[0], 5)
+    for i in idxs:
+        hn = get_histogram(n[i], bin_edges=NOISE_BIN_EDGES)[0]
+        for j, p in enumerate((ng[i], nl[i], ns[i], n[i])):
+            h = get_histogram(p, bin_edges=NOISE_BIN_EDGES)[0]
+            want[j] += kl_div_forward(hn, h)
+    assert cnt == len(list(idxs))
+    np.testing.assert_allclose(np.asarray(sums), want, rtol=1e-5, atol=1e-7)
+    # real-vs-real KLD is exactly zero
+    assert float(np.asarray(sums)[3]) == 0.0

@@ -277,3 +277,32 @@ def test_staged_smaller_than_batch_raises():
         trainer._train_epoch_staged(0)
     with pytest.raises(ValueError, match="staged test set"):
         trainer._eval_epoch_staged()
+
+
+def test_sample_epoch_on_device_kld_matches_host(synth_data, tmp_path):
+    """sample_epoch's on-device KLD path vs the numpy/host path: identical
+    flow samples (same key), so NLL/sd_z/KLD_NF agree tightly and KLD_R is
+    exactly 0; the Gaussian/NLF comparison draws use different RNGs, so
+    those columns agree statistically."""
+    tr, ts, ph = synth_data
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph, width=4,
+                         n_batch_train=16)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    trainer = Trainer(flow, cfg, make_mesh(1))
+    rng = jax.random.PRNGKey(7)
+    args = dict(temp=1.0, sc_sd=0.02, fix_cam_iso=True, compute_kld=True)
+    nll_d, sdz_d, kld_d = trainer.sample_epoch(
+        ts.batches(16, drop_remainder=True), rng=rng, on_device_kld=True,
+        **args)
+    nll_h, sdz_h, kld_h = trainer.sample_epoch(
+        ts.batches(16, drop_remainder=True), rng=rng, on_device_kld=False,
+        **args)
+    assert nll_d == pytest.approx(nll_h, rel=1e-5)
+    assert sdz_d == pytest.approx(sdz_h, rel=1e-4)
+    assert kld_d[3] == 0.0 and kld_h[3] == 0.0        # real vs real
+    assert kld_d[2] == pytest.approx(kld_h[2], rel=1e-4, abs=1e-6)  # NF
+    for j in (0, 1):  # Gaussian / camera-NLF: independent draws
+        assert np.isfinite(kld_d[j]) and np.isfinite(kld_h[j])
+        assert abs(kld_d[j] - kld_h[j]) < max(0.5 * kld_h[j], 0.1)
+    # host path charged its numpy work to its own phase; device path not
+    assert "sample" in trainer.timers.totals
