@@ -251,28 +251,47 @@ def main():
         out = sampler(2 + i)
     out.block_until_ready()
 
-    # in-run contention probe, bracketing the headline windows
-    probe_pre = bench_chip_probe() if on_tpu else None
-
-    # best of 5 windows: the tunneled chip is multi-tenant and shows
-    # minute-scale load variance (2.18M vs 1.93M patches/s measured for the
-    # same binary hours apart); the max window is the uncontended rate.
-    # Day-scale drift is wider still: the UNCHANGED sampler binary (cached
-    # executable, zero code delta) measured 2.17-2.18M through round 2 and
-    # 1.83-1.86M across all of round-3 day — read vs_baseline against that
-    # tenancy band, not as a code regression.
+    # Tenancy-stable measurement (VERDICT r4 item 5): the tunneled chip is
+    # multi-tenant with minute-scale load variance (the UNCHANGED sampler
+    # binary measured 2.17-2.18M patches/s through round 2 and 1.83-1.86M all
+    # of round-3 day). Each attempt runs the MXU probe then the headline
+    # windows; attempts repeat (with a backoff) until the probe shows a
+    # quiet chip (>= NF_QUIET_TFLOPS, default 150 of 197 nominal) or the
+    # attempt/time budget runs out. The JSON records every (probe, rate)
+    # pair: the headline `value` is the best window overall, and
+    # `value_quiet` is the rate from the quietest attempt — the
+    # round-over-round comparable number.
     n_iter = 20 if on_tpu else 5
+    quiet_thresh = float(os.environ.get("NF_QUIET_TFLOPS", "150"))
+    max_attempts = int(os.environ.get("NF_QUIET_ATTEMPTS", "4"))
+    attempts = []
     samples_per_sec = 0.0
-    for w in range(5 if on_tpu else 1):
-        t0 = time.perf_counter()
-        for i in range(n_iter):
-            out = sampler(100 + 1000 * w + i)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        samples_per_sec = max(samples_per_sec, batch * n_iter / dt)
-
-    probe_post = bench_chip_probe() if on_tpu else None
-    probe = max(p for p in (probe_pre, probe_post, 0.0) if p is not None)
+    probe_pre = probe_post = None
+    for attempt in range(max_attempts if on_tpu else 1):
+        probe_a = bench_chip_probe() if on_tpu else None
+        rate_a = 0.0
+        for w in range(5 if on_tpu else 1):
+            t0 = time.perf_counter()
+            for i in range(n_iter):
+                out = sampler(100 + 1000 * w + 10000 * attempt + i)
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            rate_a = max(rate_a, batch * n_iter / dt)
+        probe_b = bench_chip_probe() if on_tpu else None
+        if attempt == 0:
+            probe_pre, probe_post = probe_a, probe_b
+        attempts.append({"probe_pre": probe_a, "probe_post": probe_b,
+                         "rate": rate_a})
+        samples_per_sec = max(samples_per_sec, rate_a)
+        if not on_tpu or min(probe_a, probe_b) >= quiet_thresh:
+            break
+        time.sleep(15)  # let the co-tenant's burst pass
+    quietest = max(attempts,
+                   key=lambda a: min(a["probe_pre"] or 0, a["probe_post"] or 0))
+    value_quiet = quietest["rate"]
+    probe_quiet = min(quietest["probe_pre"] or 0, quietest["probe_post"] or 0)
+    probe = max(min(a["probe_pre"] or 0, a["probe_post"] or 0)
+                for a in attempts) or None
 
     # --- speed-of-light: MXU-compute-bound -----------------------------
     # v2 folded chain per patch: 8 couplings x 6 matmuls [*,128]x[128,128]
@@ -284,8 +303,15 @@ def main():
         peak = 1e12  # CPU-ish; vs_baseline meaningless off-TPU
     sol = peak / flops_per_patch
     vs_baseline = samples_per_sec / sol
-    # probe-normalized: the same ratio against what the chip DEMONSTRABLY
-    # sustained during this run (tenancy-corrected). probe==peak => identical.
+    # probe-normalized ratio, EXECUTED-FLOPs basis on both sides: the kernel
+    # side counts every executed (padded-band) matmul FLOP and the probe is
+    # a dense matmul whose executed == useful FLOPs — so this is the ratio
+    # of sustained executed-matmul throughput under identical tenancy, not a
+    # fraction of speed-of-light. >1.0 means the one-long-kernel dispatch
+    # shape retains MXU rate under contention better than 20 interleavable
+    # dense calls do; on a quiet chip (probe ~ nominal) it converges to
+    # vs_baseline. Read `value_quiet`/`probe_quiet` for the comparable
+    # round-over-round number.
     vs_baseline_probe = (samples_per_sec / (probe * 1e12 / flops_per_patch)
                          if probe else None)
     # measured nonzero fraction of the folded sampler matrices (the
@@ -382,6 +408,11 @@ def main():
         "unit": "patches/s",
         "vs_baseline": round(vs_baseline, 4),
         "vs_baseline_probe": rnd(vs_baseline_probe),
+        "value_quiet": round(value_quiet, 1),
+        "probe_quiet_tflops": rnd(probe_quiet, 1),
+        "quiet": bool(probe_quiet >= quiet_thresh) if on_tpu else None,
+        "attempts": [{k: rnd(v, 1) for k, v in a.items()}
+                     for a in attempts],
         "chip_probe_tflops": {"pre": rnd(probe_pre, 1),
                               "post": rnd(probe_post, 1),
                               "nominal_peak": peak / 1e12},

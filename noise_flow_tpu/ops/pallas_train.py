@@ -54,6 +54,7 @@ from noise_flow_tpu.ops.packed_flow import (
     L,
     W,
     SUPPORTED_KINDS,
+    _TAP_SEL,
     _lane,
     band_from_conv,
 )
@@ -74,6 +75,121 @@ class Segment(NamedTuple):
     nc: int
 
 
+def _can_batch_fold(spec_slice, cfg) -> bool:
+    """Batched fold envelope: homogeneous LU conv1x1 mixes + conv couplings
+    (the published arch). perm_reverse / NONE / LU2 take the loop fold."""
+    return (cfg.decomp == "LU"
+            and all(s.kind in ("conv1x1", "coupling") for s in spec_slice))
+
+
+@functools.lru_cache(maxsize=4)
+def _ind_taps_np(h: int, w: int) -> np.ndarray:
+    """[9, h, w] constant: contribution pattern of the edge-indicator input
+    channel to each 3x3 VALID conv tap after _edge_pad_with_indicator."""
+    ind = np.pad(np.zeros((h, w), np.float32), 1, constant_values=1.0)
+    return np.stack([ind[di:di + h, dj:dj + w]
+                     for di in range(3) for dj in range(3)])
+
+
+def _fold_segment_batched(seg: Segment, spec_slice, params_slice,
+                          state_slice, cfg, width: int):
+    """Vectorized twin of the loop fold below: ONE stacked einsum per matrix
+    type instead of per-layer ops. The loop fold is ~400 tiny XLA ops per
+    step, which at the published batch 138 is pure serial launch latency
+    (~700 us fwd+vjp measured in-situ, experiments/b138_attrib.py) — the
+    batched form collapses it ~20x. Numerically identical (pinned by
+    tests/test_fused_train.py::test_fold_batched_matches_loop); gradients
+    flow through the same linear einsums. A_inv / triangular solves are NOT
+    computed — the training direction only needs A and log|det|."""
+    from noise_flow_tpu.ops.conv1x1 import _tri_indices
+
+    eyeW = jnp.eye(W, dtype=jnp.float32)
+    # --- mixes: LU rebuild, batched over the segment's conv1x1 layers ---
+    mix_p = [p for s, p in zip(spec_slice, params_slice)
+             if s.kind == "conv1x1"]
+    mix_s = [st for s, st in zip(spec_slice, state_slice)
+             if s.kind == "conv1x1"]
+    nm = len(mix_p)
+    if nm:
+        c = mix_p[0]["mat"]["log_s"].shape[0]
+        l_vec = jnp.stack([p["mat"]["l_vec"] for p in mix_p])
+        u_vec = jnp.stack([p["mat"]["u_vec"] for p in mix_p])
+        log_s = jnp.stack([p["mat"]["log_s"] for p in mix_p])
+        sign_s = jnp.stack([st["frozen"]["sign_s"] for st in mix_s])
+        perm = jnp.stack([st["frozen"]["p"] for st in mix_s])
+        il, jl = _tri_indices(c, upper=False)
+        iu, ju = _tri_indices(c, upper=True)
+        eyec = jnp.eye(c, dtype=jnp.float32)
+        l_m = jnp.zeros((nm, c, c)).at[:, il, jl].set(l_vec) + eyec
+        u_m = (jnp.zeros((nm, c, c)).at[:, iu, ju].set(u_vec)
+               + eyec * (sign_s * jnp.exp(log_s))[:, None, :])
+        a = perm @ (l_m @ u_m)
+        mixes = jnp.einsum("ab,nij->naibj", eyeW, a).reshape(nm, L, L)
+        mix_logdet = jnp.sum(log_s) * (H * W)
+    else:
+        mixes = jnp.zeros((1, L, L), jnp.float32)
+        mix_logdet = jnp.zeros(())
+    # --- couplings: stacked band matrices -------------------------------
+    cp = [p["nn"] for s, p in zip(spec_slice, params_slice)
+          if s.kind == "coupling"]
+    cs = [st["nn"] for s, st in zip(spec_slice, state_slice)
+          if s.kind == "coupling"]
+    nc = len(cp)
+    if nc == 0:
+        return {
+            "rescales": jnp.zeros((1, 1), jnp.float32), "mixes": mixes,
+            "m1s": jnp.zeros((1, 3, L, L)), "b1s": jnp.zeros((1, L)),
+            "m2s": jnp.zeros((1, L, L)), "b2s": jnp.zeros((1, L)),
+            "m3s": jnp.zeros((1, 3, L, L)), "offs": jnp.zeros((1, H, L)),
+            "bnrun": jnp.zeros((1, 4, L)),
+        }, mix_logdet
+
+    def lane_stack(vs, pad_val=0.0):
+        v = jnp.stack(vs).reshape(nc, -1)          # [nc, width]
+        v = jnp.pad(v, ((0, 0), (0, C - width)), constant_values=pad_val)
+        return jnp.tile(v, (1, W))                  # [nc, L]
+
+    def band_stack(ws):
+        """[nc, kh, kw, cin, cout] stacked conv weights -> [nc, kh, L, L]."""
+        w = jnp.stack(ws)
+        kh, kw, cin, cout = w.shape[1:]
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, C - cin),
+                         (0, C - cout)))
+        bands = jnp.einsum("kab,nhkio->nhaibo", _TAP_SEL[kw], wp)
+        return bands.reshape(nc, kh, L, L)
+
+    m1s = band_stack([p["l1_w"] for p in cp])
+    b1s = lane_stack([p["l1_b"] for p in cp])
+    m2s = band_stack([p["l2_w"] for p in cp])[:, 0]
+    b2s = lane_stack([p["l2_b"] for p in cp])
+    logs_scale = jnp.exp(jnp.stack([p["last"]["logs"] for p in cp])
+                         .reshape(nc, 1, 1, 1, -1) * LOGSCALE_FACTOR)
+    wz = jnp.stack([p["last"]["w"] for p in cp])       # [nc,3,3,width+1,co]
+    m3s = band_stack(list(wz[:, :, :, :width, :] * logs_scale))
+    # zero-conv offsets: on a zero input only the edge-indicator channel and
+    # the bias contribute — one einsum against the constant tap pattern
+    # replaces nc full convs (conv_zeros_apply on zeros, loop fold below)
+    taps = jnp.asarray(_ind_taps_np(H, W))             # [9, H, W]
+    w_ind = wz[:, :, :, width, :].reshape(nc, 9, -1)   # [nc, 9, cout]
+    offs4 = jnp.einsum("thw,nto->nhwo", taps, w_ind)
+    offs4 = (offs4 + jnp.stack([p["last"]["b"] for p in cp]).reshape(
+        nc, 1, 1, -1)) * logs_scale.reshape(nc, 1, 1, -1)
+    offs = offs4.reshape(nc, H, L)
+    rescales = jnp.stack([p["rescale"].reshape(()) for s, p in
+                          zip(spec_slice, params_slice)
+                          if s.kind == "coupling"]).reshape(nc, 1)
+    bnrun = jnp.stack([
+        lane_stack([st["bn1"]["mean"] for st in cs]),
+        lane_stack([st["bn1"]["var"] for st in cs], pad_val=1.0),
+        lane_stack([st["bn2"]["mean"] for st in cs]),
+        lane_stack([st["bn2"]["var"] for st in cs], pad_val=1.0),
+    ], axis=1)                                         # [nc, 4, L]
+    mats = {"rescales": rescales, "mixes": mixes, "m1s": m1s, "b1s": b1s,
+            "m2s": m2s, "b2s": b2s, "m3s": m3s, "offs": offs,
+            "bnrun": bnrun}
+    return mats, mix_logdet
+
+
 def _fold_segment(seg: Segment, spec_slice, params_slice, state_slice, cfg,
                   width: int):
     """Stack the segment's kernel inputs from raw params (differentiable).
@@ -81,7 +197,14 @@ def _fold_segment(seg: Segment, spec_slice, params_slice, state_slice, cfg,
     Returns (mats dict, mix_logdet_sum) where mats has keys
     rescales[nc], mixes[nm,L,L], m1s[nc,3,L,L], b1s[nc,L], m2s[nc,L,L],
     b2s[nc,L], m3s[nc,3,L,L], offs[nc,H,L], bnrun[nc,4,L].
+
+    Dispatches to the vectorized fold above inside its envelope; this loop
+    form is the general fallback (perm_reverse, NONE/LU2 decomps) and the
+    ground truth the batched fold is pinned against.
     """
+    if _can_batch_fold(spec_slice, cfg):
+        return _fold_segment_batched(seg, spec_slice, params_slice,
+                                     state_slice, cfg, width)
     mixes: List = []
     m1s, b1s, m2s, b2s, m3s, offs, rescales, bnrun = ([] for _ in range(8))
     mix_logdet = jnp.zeros(())

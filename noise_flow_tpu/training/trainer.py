@@ -81,7 +81,7 @@ def batch_to_cond(mb: Dict) -> Dict:
     }
 
 
-def _pick_block(b: int, target: int = 128) -> int:
+def _pick_block(b: int, target: int = 128, stretch: int = 0) -> int:
     """Largest divisor of the batch <= target, used as the fused kernel's
     per-grid-step block. b <= target keeps ghost BN == exact batch BN.
 
@@ -89,13 +89,25 @@ def _pick_block(b: int, target: int = 128) -> int:
     residual tiles of [bt, 32, 128] f32 per coupling while recomputing
     (ops/pallas_train.py); bt=128 keeps a 4-coupling segment under ~80 MB
     and measured fastest on one chip (237k patches/s at batch 2048 bf16,
-    vs 219k at bt=64)."""
+    vs 219k at bt=64).
+
+    stretch > 0 also considers divisors in (target, target+stretch] and
+    takes one when it needs FEWER grid blocks than the <=target choice:
+    the one-shot kernel has a measured ~365 us per-CALL floor plus ~130 us
+    per block (experiments/b138_kernel_scaling_dep.json), so b=138 runs
+    faster as 2 blocks of 69 than 3 of 46; bt=69 was measured inside the
+    VMEM envelope (the cap at 64 is conservative)."""
     if b <= target:
         return b
-    for bt in range(target, 0, -1):
-        if b % bt == 0:
-            return bt
-    return b
+    bt = b
+    for cand in range(target, 0, -1):
+        if b % cand == 0:
+            bt = cand
+            break
+    for cand in range(target + stretch, target, -1):
+        if b % cand == 0 and b // cand < b // bt:
+            return cand
+    return bt
 
 
 class Trainer:
@@ -230,7 +242,7 @@ class Trainer:
                          check_vma=False)(params, state, xp, cond)
 
     def _step_for_batch(self, b: int):
-        bt = _pick_block(b, target=64)
+        bt = _pick_block(b, target=64, stretch=8)
         if bt not in self._step_cache:
             self._warn_new_kernel(self._step_cache, bt, "one-shot step")
             dtype = (jnp.bfloat16

@@ -413,3 +413,63 @@ def test_trainer_oneshot_scan_dispatch():
                     jax.tree_util.tree_leaves(outs[2][1])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fold_batched_matches_loop():
+    """The vectorized fold (one stacked einsum per matrix type) must equal
+    the loop fold bit-for-bit in values AND parameter gradients — it is the
+    hot glue of every b138 train step (experiments/b138_attrib.py)."""
+    import noise_flow_tpu.ops.pallas_train as pt
+
+    cfg = default_config(arch=ARCH, patch_height=32, use_pallas=True)
+    flow = NoiseFlow((32, 32, 4), cfg)
+    params, state = flow.init(jax.random.PRNGKey(3))
+    fs = pt.FusedTrainStep(flow, bt=8)
+    specs = flow.level_specs[0]
+    sl = [specs[i] for i in fs.nonscale_idx]
+    st_ = [state["layers"][0][i] for i in fs.nonscale_idx]
+    assert pt._can_batch_fold(sl, cfg)
+
+    def fold(p, batched: bool):
+        orig = pt._can_batch_fold
+        if not batched:
+            pt._can_batch_fold = lambda *a: False
+        try:
+            pl_ = [p["layers"][0][i] for i in fs.nonscale_idx]
+            return pt._fold_segment(fs.seg, sl, pl_, st_, cfg, fs.width)
+        finally:
+            pt._can_batch_fold = orig
+
+    mats_b, mld_b = fold(params, True)
+    mats_l, mld_l = fold(params, False)
+    for k in mats_l:
+        np.testing.assert_allclose(np.asarray(mats_b[k]),
+                                   np.asarray(mats_l[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(float(mld_b), float(mld_l), rtol=1e-6)
+
+    def lossy(p, batched):
+        m, mld = fold(p, batched)
+        return (sum(jnp.sum(v * (1.3 + i))
+                    for i, v in enumerate(m.values())) + 2.0 * mld)
+
+    g_b = jax.grad(lambda p: lossy(p, True))(params)
+    g_l = jax.grad(lambda p: lossy(p, False))(params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_b)[0],
+            jax.tree_util.tree_flatten_with_path(g_l)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(pa))
+
+
+def test_pick_block_stretch():
+    """b138 runs as 2 blocks of 69 (fewer per-call-floor paying blocks),
+    while block-aligned batches keep their exact divisors."""
+    from noise_flow_tpu.training.trainer import _pick_block
+
+    assert _pick_block(138, target=64, stretch=8) == 69
+    assert _pick_block(128, target=64, stretch=8) == 64
+    assert _pick_block(64, target=64, stretch=8) == 64
+    assert _pick_block(2048, target=64, stretch=8) == 64
+    assert _pick_block(138, target=64) == 46      # no stretch: old choice
+    assert _pick_block(138, target=128) == 69     # segment path

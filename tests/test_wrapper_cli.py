@@ -196,3 +196,34 @@ def test_stats_cache_fingerprint(tmp_path):
     out3 = np.load(str(tmp_path / "r3" / "pat_stats.npy"),
                    allow_pickle=True).item()
     assert out3["nll_gauss"] != -123456.0
+
+
+def test_spatial_frame_sharding_compiles_with_halo(trained_dir):
+    """VERDICT r4 item 6: the spatially-sharded full-frame sample must
+    actually partition — the optimized HLO for the 8-device mesh contains
+    collective-permute ops (XLA's halo exchange for the 3x3 coupling convs
+    across shard boundaries)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from noise_flow_tpu.models.flow import NoiseFlow
+    from noise_flow_tpu.parallel.mesh import make_mesh
+
+    nf = NoiseFlowWrapper(trained_dir, sampling_temperature=1.0, seed=7)
+    mesh = make_mesh(8)
+    h, w = 128, 48
+    xp = np.full((1, h, w, 4), 0.3, np.float32)
+    flow = NoiseFlow(xp.shape[1:], nf.cfg)
+    sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+    cond = {"clean": jax.device_put(jnp.asarray(xp), sh),
+            "nlf0": jnp.zeros((1,)), "nlf1": jnp.zeros((1,)),
+            "iso": jnp.full((1,), 100.0), "cam": jnp.full((1,), 2.0)}
+
+    def fn(params, state, rng, cond):
+        return flow.sample(params, state, rng, cond, temp=1.0, batch=1,
+                           train=True)
+
+    hlo = jax.jit(fn).lower(nf.params, nf.state, jax.random.PRNGKey(0),
+                            cond).compile().as_text()
+    assert hlo.count("collective-permute") > 0, "no halo exchange in HLO"
