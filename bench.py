@@ -350,13 +350,16 @@ def main():
     # b138 cases run 16 steps per dispatch (lax.scan) — round 3: per-call
     # overhead on this setup scales with argument-handle count, so the
     # multi-step dispatch is the steady-state epoch-loop shape (84k vs 51k
-    # patches/s measured at b138 fused).
+    # patches/s measured at b138 fused). Round 5 attacked the remaining
+    # glue (batched fold, bt=69 blocks, stacked scale probes): b138 full
+    # step 1617 -> 1064 us in-situ (~130k patches/s); the residue is a
+    # measured ~350 us in-call kernel floor — see experiments/b138_floor.md.
     # big-batch cases stay step-per-call: the fixed overhead is ~7% there
     # and the scan-of-Mosaic compile for the 8192 shape costs many minutes
     # over the tunnel.
     cases = [("train_fused_big", big_fused, True, 1),
-             ("train_fused_b138", 138, True, 16),
-             ("train_xla_b138", 138, False, 16),
+             ("train_fused_b138", 138, True, 32),
+             ("train_xla_b138", 138, False, 32),
              ("train_xla_big", big_xla, False, 1)]
     if not on_tpu:  # interpret-mode kernels are slow; keep CI cheap
         cases = [("train_xla_b138", 32, False, 2),

@@ -87,7 +87,7 @@ case "$cfg" in
       --lr 1e-4 --n_batch_train 138 --patch_height 32 --shuffle_patches \
       --n_patches_per_image 2898 --epochs 150 --epochs_full_valid 10 \
       --temp 0.6 --do_sample --n_sample_batches 24 \
-      --use_pallas --steps_per_call 16 --device_resident_data \
+      --use_pallas --steps_per_call 32 --device_resident_data \
       --cache_dir data/sidd_scale_cache --native_loader \
       --sidd_path data/SIDD_Medium_Raw_synth/Data \
       --logdir experiments/sidd/prod_synth_scale

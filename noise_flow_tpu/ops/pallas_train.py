@@ -923,18 +923,26 @@ class FusedTrainStep:
             cond4["clean"] = cond["clean"][:, None]
         ones_probe = jnp.ones((batch, 1, 1, 1), jnp.float32)
         dummy = jnp.ones((batch, 1, H, L), jnp.float32)
+        # the two (clean=0, clean=1) probes run as ONE stacked layer forward
+        # of batch 2B: at the published batch each layer invocation is ~25
+        # serial small-op launches, which dominate _prep (in-situ ~305 us,
+        # experiments/b138_attrib_v2.json) — halve the probe invocations
+        probe01 = jnp.concatenate(
+            [jnp.zeros((batch, 1, 1, 1), jnp.float32),
+             jnp.ones((batch, 1, 1, 1), jnp.float32)])
+        cond01 = {k: (probe01 if k == "clean" else jnp.tile(v, 2))
+                  for k, v in cond4.items() if k != "clean"}
+        cond01["clean"] = probe01
+        ones2 = jnp.ones((2 * batch, 1, 1, 1), jnp.float32)
         sa_cols, sb_cols = [], []
         ildj_scale = jnp.zeros((batch,), jnp.float32)
         for i in self.scale_idx:
             ldef = get_layer_def(specs[i].kind, cfg)
-            c0 = dict(cond4, clean=jnp.zeros_like(ones_probe))
-            c1 = dict(cond4, clean=ones_probe)
-            s0, _, _ = ldef.forward(p_lvl[i], shared, s_lvl[i], ones_probe,
-                                    c0, False)
-            s1, _, _ = ldef.forward(p_lvl[i], shared, s_lvl[i], ones_probe,
-                                    c1, False)
-            b = (s0 * s0).reshape(batch, -1)[:, :1]
-            a = (s1 * s1).reshape(batch, -1)[:, :1] - b
+            s01, _, _ = ldef.forward(p_lvl[i], shared, s_lvl[i], ones2,
+                                     cond01, False)
+            s01 = (s01 * s01).reshape(2 * batch, -1)[:, :1]
+            b = s01[:batch]
+            a = s01[batch:] - b
             sa_cols.append(a)
             sb_cols.append(b)
             # x-independent ldj through the layer's own inverse (all

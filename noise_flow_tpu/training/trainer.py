@@ -129,10 +129,14 @@ class Trainer:
         # fused Pallas NLL/backward path (ops/pallas_train.py). NOTE: for
         # batches larger than the kernel block this uses ghost-BN semantics
         # (per-block batch moments) — see the module docstring. The one-shot
-        # default path blocks at _pick_block(b, target=64), so exact-batch-BN
-        # parity with the reference holds for batch <= 64 there (the segment
-        # path blocks at 128); batch 128 runs as two ghost-BN blocks of 64
-        # (pinned by tests/test_fused_train.py oneshot b=128/bt=64 case).
+        # default path blocks at _pick_block(b, target=64, stretch=8), so
+        # exact-batch-BN parity with the reference holds for batch <= 64
+        # there (the segment path blocks at 128); batch 128 runs as two
+        # ghost-BN blocks of 64 (pinned by tests/test_fused_train.py oneshot
+        # b=128/bt=64), batch 138 as two blocks of 69. The measured ghost-vs-
+        # exact trajectory delta at the published batch is committed in
+        # experiments/sidd/bn_delta/ (VERDICT r4 item 3); force the exact
+        # path with use_pallas=False.
         self._fused_cache = {}
         self._step_cache = {}
         self.use_fused = False
