@@ -272,6 +272,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         logging.info("staged %d train + %d test patches in HBM (%.1fs, "
                      "input pipeline -> device once; epochs gather on "
                      "device)", n_tr, n_ts, time.time() - t0)
+        # staged sampling: the per-epoch sample phase draws its batches
+        # from the HBM-staged test set (no H2D), honoring the cap
+        trainer.sample_batches_cap = args.n_sample_batches
 
     trainer.fit(
         train_fn, test_fn,

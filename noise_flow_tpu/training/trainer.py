@@ -711,6 +711,77 @@ class Trainer:
         return (float(jnp.mean(jnp.stack(losses))),
                 float(jnp.mean(jnp.stack(sdzs))), kld)
 
+    def _sample_epoch_staged(self, temp: float, rng, sc_sd: float = 1.0,
+                             fix_cam_iso: bool = True,
+                             vis_dir: Optional[str] = None,
+                             max_batches: int = 0):
+        """sample_epoch over the HBM-staged test set: batches gather on
+        device and the whole sample + NLL + KLD step runs jitted — no
+        host->device transfer at all (the host-batch path measured
+        H2D-bound on the tunneled chip: 113 s of a 119 s full-scale phase
+        was device_put, experiments/sample_phase_fullscale.json). The
+        first batch still round-trips once when vis_dir is set (it owns
+        the reference's .mat artifact dump)."""
+        data = self._staged_test
+        n = int(data["_x"].shape[0])
+        b = self.cfg.n_batch_test
+        nsteps = n // b
+        if max_batches:
+            nsteps = min(nsteps, max_batches)
+        nlf_s6 = 0.000479  # S6/ISO-100 (ref:train_noise_flow.py:158-159)
+        losses, sdzs = [], []
+        # device-resident accumulators: a per-batch np.asarray would pay the
+        # tunnel's ~25 ms D2H latency 400x per full-scale phase (measured:
+        # it dominated the 37 s wall); everything drains in ONE pull below
+        kld_sum = jnp.zeros((4,), jnp.float32)
+        kld_cnt = jnp.zeros((), jnp.float32)
+        host_sum, host_cnt = np.zeros(4), 0.0
+        ph = self._staged_shape[0]
+        for s in range(nsteps):
+            idx = jnp.arange(s * b, (s + 1) * b, dtype=jnp.int32)
+            batch = self._gather_staged(data, idx)
+            for k in ("_x", "_y"):  # flow.sample consumes NHWC
+                batch[k] = batch[k].reshape((b,) + tuple(self._staged_shape))
+            if fix_cam_iso:
+                batch["iso"] = jnp.full((b,), 100.0, jnp.float32)
+                batch["cam"] = jnp.full((b,), 2.0, jnp.float32)
+                batch["nlf0"] = jnp.full((b,), nlf_s6, jnp.float32)
+                batch["nlf1"] = jnp.full((b,), nlf_s6, jnp.float32)
+            rng, k = jax.random.split(rng)
+            if vis_dir is not None and s == 0:
+                with self.timers.phase("sample_host"):
+                    x_sample = self._sample_step(self.params, self.state, k,
+                                                 batch, float(temp))
+                    nll, sd_z = self._eval_step(
+                        self.params, self.state, {**batch, "_x": x_sample})
+                    mb_host = {kk: np.asarray(v) for kk, v in batch.items()}
+                    mean_kld = calc_kldiv_mb(mb_host, np.asarray(x_sample),
+                                             sc_sd, vis_dir=vis_dir)
+                n_pat = len(range(0, b, 5))
+                host_sum += mean_kld * n_pat
+                host_cnt += n_pat
+            else:
+                with self.timers.phase("sample"):
+                    nll, sd_z, sums, cnt = self._sample_kld_step(
+                        self.params, self.state, k, batch, float(temp),
+                        jnp.float32(sc_sd))
+                kld_sum = kld_sum + sums
+                kld_cnt = kld_cnt + cnt
+            losses.append(nll)
+            sdzs.append(sd_z)
+        with self.timers.phase("sync"):
+            tot_sum = np.asarray(kld_sum) + host_sum
+            tot_cnt = float(kld_cnt) + host_cnt
+            kld = tot_sum / tot_cnt if tot_cnt else np.zeros(4)
+            out = (float(jnp.mean(jnp.stack(losses))),
+                   float(jnp.mean(jnp.stack(sdzs))), kld)
+        return out
+
+    # number of test batches the per-epoch sampling phase runs over when
+    # sampling from the staged set (0 = the full staged split; set from
+    # cli --n_sample_batches)
+    sample_batches_cap = 0
+
     # ------------------------------------------------------------ main loop
     def fit(self, train_batches_fn, test_batches_fn, logdir: str,
             epochs: Optional[int] = None, nll_gauss: float = 0.0,
@@ -815,9 +886,14 @@ class Trainer:
                     vis_dir = os.path.join(
                         logdir, "samples_epoch_%04d" % epoch,
                         "samples_%.1f" % cfg.temp)
-                    sm_nll, sm_sdz, kld = self.sample_epoch(
-                        (sample_batches_fn or test_batches_fn)(), cfg.temp, k,
-                        sc_sd, vis_dir=vis_dir)
+                    if self._staged_test is not None:
+                        sm_nll, sm_sdz, kld = self._sample_epoch_staged(
+                            cfg.temp, k, sc_sd, vis_dir=vis_dir,
+                            max_batches=self.sample_batches_cap)
+                    else:
+                        sm_nll, sm_sdz, kld = self.sample_epoch(
+                            (sample_batches_fn or test_batches_fn)(),
+                            cfg.temp, k, sc_sd, vis_dir=vis_dir)
                     history["sample"].append(sm_nll)
                     sample_logger.log({
                         "epoch": epoch, "NLL": sm_nll, "NLL_G": nll_gauss,

@@ -306,3 +306,29 @@ def test_sample_epoch_on_device_kld_matches_host(synth_data, tmp_path):
         assert abs(kld_d[j] - kld_h[j]) < max(0.5 * kld_h[j], 0.1)
     # host path charged its numpy work to its own phase; device path not
     assert "sample" in trainer.timers.totals
+
+
+def test_sample_epoch_staged_matches_host(synth_data, tmp_path):
+    """The HBM-staged sampling phase (zero H2D) agrees with the host-batch
+    path: same flow-sample key per batch => NLL/KLD_NF match tightly."""
+    tr, ts, ph = synth_data
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph, width=4,
+                         n_batch_train=16, n_batch_test=16)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    trainer = Trainer(flow, cfg, make_mesh(1))
+    trainer.stage_dataset(ts.batches(16, drop_remainder=True), "test")
+    rng = jax.random.PRNGKey(11)
+    nll_s, sdz_s, kld_s = trainer._sample_epoch_staged(1.0, rng, sc_sd=0.02)
+    # host path over the identical (staged-order) batches
+    nll_h, sdz_h, kld_h = trainer.sample_epoch(
+        ts.batches(16, drop_remainder=True), 1.0, rng, sc_sd=0.02)
+    assert nll_s == pytest.approx(nll_h, rel=1e-4)
+    assert sdz_s == pytest.approx(sdz_h, rel=1e-3)
+    assert kld_s[3] == 0.0
+    assert kld_s[2] == pytest.approx(kld_h[2], rel=1e-3, abs=1e-5)
+    # vis_dir leg writes the .mat artifact set from the staged data too
+    vd = str(tmp_path / "vis")
+    trainer._sample_epoch_staged(1.0, rng, sc_sd=0.02, vis_dir=vd,
+                                 max_batches=2)
+    import glob
+    assert glob.glob(os.path.join(vd, "*", "*.mat"))
