@@ -667,6 +667,10 @@ class Trainer:
                 mb["nlf1"] = np.full((b,), nlf_s6[100], np.float32)
             db = self._put(mb)
             rng, k = jax.random.split(rng)
+            if self.mesh.size > 1:
+                # split() commits the key to the default device; replicate it
+                # so the jitted step sees mesh-consistent argument placement
+                k = replicate(self.mesh, k)
             use_dev = (compute_kld and on_device_kld
                        and not (vis_dir is not None and bi == 0))
             if use_dev:

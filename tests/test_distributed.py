@@ -129,3 +129,43 @@ def test_all_gather_samples():
                   check_vma=False)
     out = f(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+
+def test_sample_epoch_kld_mesh_matches_single_device():
+    """The on-device sampling-KLD step under jit auto-partitioning on an
+    8-device mesh equals the single-device result exactly (same keys) —
+    and the split key's device placement is mesh-consistent (round-5 fix:
+    split() commits to device 0, which conflicted with replicated params)."""
+    import jax
+
+    from noise_flow_tpu.config import default_config
+    from noise_flow_tpu.models.flow import NoiseFlow
+    from noise_flow_tpu.parallel.mesh import make_mesh
+    from noise_flow_tpu.training.trainer import Trainer
+
+    ph = 16
+    cfg = default_config(arch="sdn5|unc|gain4|unc", patch_height=ph,
+                         n_batch_test=16)
+    flow = NoiseFlow((ph, ph, 4), cfg)
+    t8 = Trainer(flow, cfg, make_mesh(8))
+    t1 = Trainer(flow, cfg, make_mesh(1))
+
+    def mb(b, s):
+        r = np.random.default_rng(s)
+        clean = r.uniform(0.01, 0.9, (b, ph, ph, 4)).astype(np.float32)
+        x = (r.standard_normal(clean.shape) * 0.02).astype(np.float32)
+        return {"_x": x, "_y": clean,
+                "nlf0": np.full((b,), 5e-4, np.float32),
+                "nlf1": np.full((b,), 2e-6, np.float32),
+                "iso": np.full((b,), 100., np.float32),
+                "cam": np.full((b,), 2., np.float32)}
+
+    batches = [mb(16, s) for s in range(3)]
+    k = jax.random.PRNGKey(3)
+    n8 = t8.sample_epoch(iter(batches), 1.0, k, sc_sd=0.02,
+                         on_device_kld=True)
+    n1 = t1.sample_epoch(iter(batches), 1.0, k, sc_sd=0.02,
+                         on_device_kld=True)
+    np.testing.assert_allclose(n8[0], n1[0], rtol=1e-4)
+    np.testing.assert_allclose(n8[1], n1[1], rtol=1e-4)
+    np.testing.assert_allclose(n8[2], n1[2], rtol=1e-3, atol=1e-5)
