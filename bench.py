@@ -285,13 +285,12 @@ def main():
         samples_per_sec = max(samples_per_sec, rate_a)
         if not on_tpu or min(probe_a, probe_b) >= quiet_thresh:
             break
-        time.sleep(15)  # let the co-tenant's burst pass
+        if attempt < max_attempts - 1:
+            time.sleep(15)  # let the co-tenant's burst pass
     quietest = max(attempts,
                    key=lambda a: min(a["probe_pre"] or 0, a["probe_post"] or 0))
     value_quiet = quietest["rate"]
     probe_quiet = min(quietest["probe_pre"] or 0, quietest["probe_post"] or 0)
-    probe = max(min(a["probe_pre"] or 0, a["probe_post"] or 0)
-                for a in attempts) or None
 
     # --- speed-of-light: MXU-compute-bound -----------------------------
     # v2 folded chain per patch: 8 couplings x 6 matmuls [*,128]x[128,128]
@@ -306,14 +305,16 @@ def main():
     # probe-normalized ratio, EXECUTED-FLOPs basis on both sides: the kernel
     # side counts every executed (padded-band) matmul FLOP and the probe is
     # a dense matmul whose executed == useful FLOPs — so this is the ratio
-    # of sustained executed-matmul throughput under identical tenancy, not a
+    # of sustained executed-matmul throughput under the SAME attempt's
+    # tenancy (quietest attempt's rate over its own probe — mixing the best
+    # rate with another attempt's best probe would overstate it), not a
     # fraction of speed-of-light. >1.0 means the one-long-kernel dispatch
     # shape retains MXU rate under contention better than 20 interleavable
     # dense calls do; on a quiet chip (probe ~ nominal) it converges to
     # vs_baseline. Read `value_quiet`/`probe_quiet` for the comparable
     # round-over-round number.
-    vs_baseline_probe = (samples_per_sec / (probe * 1e12 / flops_per_patch)
-                         if probe else None)
+    vs_baseline_probe = (value_quiet / (probe_quiet * 1e12 / flops_per_patch)
+                         if probe_quiet else None)
     # measured nonzero fraction of the folded sampler matrices (the
     # algorithmically necessary share of the padded matmul FLOPs)
     useful_frac_sample = _useful_frac(

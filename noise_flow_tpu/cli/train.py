@@ -115,13 +115,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     # with --cache_dir (immutable decoded data) they are cached alongside it
     stats_cache = (os.path.join(args.cache_dir, "pat_stats_baselines.npz")
                    if args.cache_dir else None)
-    # cached stats depend on the patch-extraction config, not just the cache
-    # dir: re-running with different extraction args (or a regenerated
-    # dataset) must recompute, not silently load stale sc_sd/baselines
+    # cached stats depend on the patch-extraction config AND the data, not
+    # just the cache dir: re-running with different extraction args or a
+    # regenerated dataset (same sizes, different content) must recompute,
+    # not silently load stale sc_sd/baselines
+
+    def content_sig(arr):
+        """Strided sample moments across the whole patch set — cheap, and a
+        same-size regeneration with different content changes it."""
+        sub = np.asarray(arr[::max(1, len(arr) // 64)]).reshape(-1)
+        sub = sub[::max(1, sub.size // 65536)]
+        return (round(float(sub.mean()), 9), round(float(sub.std()), 9))
+
     fingerprint = repr((len(tr), len(ts), cfg.patch_height,
                         cfg.n_patches_per_image, cfg.patch_sampling,
                         min(cfg.n_batch_test, len(ts)), cfg.camera, cfg.iso,
-                        args.shuffle_patches, cfg.seed))
+                        args.shuffle_patches, cfg.seed,
+                        content_sig(tr.x), content_sig(ts.x)))
     cached = None
     if stats_cache and os.path.exists(stats_cache):
         z = np.load(stats_cache)

@@ -930,8 +930,8 @@ class FusedTrainStep:
         probe01 = jnp.concatenate(
             [jnp.zeros((batch, 1, 1, 1), jnp.float32),
              jnp.ones((batch, 1, 1, 1), jnp.float32)])
-        cond01 = {k: (probe01 if k == "clean" else jnp.tile(v, 2))
-                  for k, v in cond4.items() if k != "clean"}
+        cond01 = {k: jnp.tile(v, 2) for k, v in cond4.items()
+                  if k != "clean"}
         cond01["clean"] = probe01
         ones2 = jnp.ones((2 * batch, 1, 1, 1), jnp.float32)
         sa_cols, sb_cols = [], []

@@ -37,14 +37,14 @@ from noise_flow_tpu.utils.image_metrics import psnr as psnr_metric
 
 def _stage_key(a: Optional[np.ndarray]):
     """Cheap identity for a host array staged to HBM: shape + dtype + a hash
-    of a strided sample (first/last rows of every len//8-th image). Detects
-    both a different array reusing a GC'd id() and in-place edits to the
-    same buffer, without hashing gigabytes."""
+    of <=64k elements strided uniformly across the WHOLE flat buffer — so a
+    different array reusing a GC'd id() and any in-place edit touching at
+    least ~1/65536 of the data both restage, without hashing gigabytes."""
     if a is None:
         return None
     a = np.asarray(a)
-    step = max(1, len(a) // 8)
-    sample = np.ascontiguousarray(a[::step, :2])
+    flat = a.reshape(-1)
+    sample = np.ascontiguousarray(flat[::max(1, flat.size // 65536)])
     return (a.shape, str(a.dtype), hash(sample.tobytes()))
 
 
