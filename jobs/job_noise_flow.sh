@@ -97,6 +97,22 @@ case "$cfg" in
       --temps 0.2,0.4,0.5,0.6,0.7,0.8,1.0 \
       --logdir experiments/sidd/prod_synth_scale/kld_sweep
     ;;
+  prod-exact)  # round 5: the quality-optimal production run — exact
+    # batch-BN (XLA path) at the published batch, HBM-staged epochs,
+    # uncapped on-device sampling diagnostics. ~130 nats better converged
+    # NLL than the fused ghost-BN path at this batch
+    # (experiments/sidd/bn_delta/); artifacts in
+    # experiments/sidd/prod_exact_150.
+    python train_noise_flow.py \
+      --arch "sdn5|unc|unc|unc|unc|gain4|unc|unc|unc|unc" --width 4 \
+      --lr 1e-4 --n_batch_train 138 --patch_height 32 --shuffle_patches \
+      --n_patches_per_image 2898 --epochs 150 --epochs_full_valid 10 \
+      --temp 0.6 --do_sample \
+      --steps_per_call 32 --device_resident_data \
+      --cache_dir data/sidd_scale_cache --native_loader \
+      --sidd_path data/SIDD_Medium_Raw_synth/Data \
+      --logdir experiments/sidd/prod_exact_150
+    ;;
   kld-sweep)  # per-(cam,iso) marginal KLD vs temperature on a trained model
     python -m noise_flow_tpu.cli.kld_sweep \
       --model_dir experiments/sidd/published_fused \
